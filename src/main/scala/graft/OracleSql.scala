@@ -1,0 +1,227 @@
+package graft
+
+import graft.analyze.CodeTokenizer
+import graft.config.EngineConfig
+
+/** DuckDB oracle SQL for every entry in [[SparkEntry.queries]].
+  *
+  * Generated from the SAME constants as the Spark plans (tokenizer
+  * regexes/stopwords via [[CodeTokenizer.sqlTokenArray]], BM25 k1/b via
+  * [[EngineConfig]], the query set via [[SparkEntry.FtQuerySet]]) so the
+  * two sides cannot drift. Floating-point outputs are either exactly
+  * reproducible (integer-valued sums, term-ordered summation) or emitted
+  * as printf('%.4f') strings.
+  */
+object OracleSql {
+
+  private val cfg = EngineConfig.default
+  private def stopList = CodeTokenizer.Stopwords.map(w => s"'$w'").mkString(",")
+
+  /** CTE producing (doc_id, tokens) from `documents` with the code-aware
+    * analyzer — mirrors CodeTokenizer.tokensCol. */
+  private val toksCte =
+    s"toks AS (SELECT doc_id, ${CodeTokenizer.sqlTokenArray("text")} AS tokens FROM documents)"
+
+  private val q1Agg =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |count(*) AS cnt, avg(l_quantity) AS avg_qty
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val qCount = "SELECT count(*) AS cnt FROM lineitem"
+
+  private val qTopkEvents =
+    """SELECT event_type, count(*) AS cnt FROM events
+      |GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 5""".stripMargin
+
+  private val qDedupLatest =
+    """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, event_type
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  private val qAntiJoin =
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val qValidationCounts =
+    """SELECT total, bad_type, bad_value, bad_user, bad_ts, bad_props, n_valid,
+      |       printf('%.4f', 100.0 * n_valid / total) AS pct_valid
+      |FROM (SELECT count(*) AS total,
+      |  count(*) FILTER (WHERE NOT (event_type IN ('click','view','purchase','signup'))) AS bad_type,
+      |  count(*) FILTER (WHERE NOT (value BETWEEN 0.0 AND 300.0)) AS bad_value,
+      |  count(*) FILTER (WHERE NOT (user_id > 0)) AS bad_user,
+      |  count(*) FILTER (WHERE NOT (ts <= TIMESTAMP '2026-01-01 00:00:00')) AS bad_ts,
+      |  count(*) FILTER (WHERE NOT (length(props) <= 100)) AS bad_props,
+      |  count(*) FILTER (WHERE event_type IN ('click','view','purchase','signup')
+      |    AND value BETWEEN 0.0 AND 300.0 AND user_id > 0
+      |    AND ts <= TIMESTAMP '2026-01-01 00:00:00' AND length(props) <= 100) AS n_valid
+      |  FROM events)""".stripMargin
+
+  private val qWarningsTop =
+    """SELECT msg, count(*) AS cnt FROM (
+      |  SELECT unnest([
+      |    CASE WHEN value > 250.0 THEN 'w_value_high' END,
+      |    CASE WHEN event_type = 'error' THEN 'w_error_event' END,
+      |    CASE WHEN hour(ts) < 6 THEN 'w_offhours' END,
+      |    CASE WHEN try_cast(json_extract_string(props, '$.k') AS INTEGER) > 90 THEN 'w_k_high' END
+      |  ]) AS msg FROM events)
+      |WHERE msg IS NOT NULL
+      |GROUP BY 1 ORDER BY cnt DESC, msg LIMIT 10""".stripMargin
+
+  private val qJsonCoercion =
+    """SELECT event_id,
+      |  try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+      |  try_cast(json_extract_string(props, '$.missing') AS INTEGER) AS k_missing
+      |FROM events ORDER BY event_id""".stripMargin
+
+  private val qSampleHead =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin
+
+  // --- full-text engine ---------------------------------------------------
+
+  private val postCte =
+    s"""WITH $toksCte,
+       |tokl AS (SELECT doc_id, len(tokens)::BIGINT AS doclen, unnest(tokens) AS term FROM toks),
+       |post AS (SELECT term, doc_id, doclen, count(*) AS tf FROM tokl GROUP BY 1, 2, 3)""".stripMargin
+
+  private val ftPostings =
+    s"$postCte SELECT term, doc_id, doclen, tf FROM post ORDER BY term, doc_id"
+
+  private val ftDoclen =
+    s"WITH $toksCte SELECT doc_id, len(tokens)::BIGINT AS doclen FROM toks ORDER BY doc_id"
+
+  private val ftStats =
+    s"WITH $toksCte SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks"
+
+  private val ftDf =
+    s"$postCte SELECT term, count(*) AS df FROM post GROUP BY 1 ORDER BY df DESC, term"
+
+  private def ftBm25: String = {
+    val pairs = SparkEntry.FtQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    val (k1, b) = (cfg.k1, cfg.b)
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |wts AS (
+       |  SELECT q.qid, p.term, p.doc_id,
+       |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ($k1 + 1.0)) /
+       |      (p.tf + $k1 * ((1.0 - $b) + ($b * p.doclen) / s.avgdl)) AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM sc)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  // --- training-data ops ----------------------------------------------------
+
+  private val ddExact =
+    """SELECT min(doc_id) AS doc_id, count(*) AS copies, md5(text) AS fp
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  private val ddNgramJaccard =
+    s"""WITH $toksCte,
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
+       |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+       |  FROM toks)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, printf('%.9f', jaccard) AS jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) AS jaccard
+       |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+       |               JOIN sizes sb ON i.id_b = sb.doc_id)
+       |WHERE jaccard >= 0.06 ORDER BY id_a, id_b""".stripMargin
+
+  private val simCosineTopk =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |sc AS (SELECT e.vec_id, e.label,
+      |    list_sum(list_transform(range(1, len(e.v) + 1), i -> q.qv[i] * e.v[i])) /
+      |      (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+      |  FROM e CROSS JOIN q),
+      |rk AS (SELECT vec_id, label, cos,
+      |         row_number() OVER (ORDER BY cos DESC, vec_id) AS "rank" FROM sc)
+      |SELECT "rank", vec_id, label, printf('%.4f', cos) AS cos
+      |FROM rk WHERE "rank" <= 10 ORDER BY "rank"""".stripMargin
+
+  private val txtQuality =
+    s"""WITH t AS (SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)
+       |SELECT doc_id, length(text)::BIGINT AS n_chars,
+       |  len(ws)::BIGINT AS n_ws_tokens,
+       |  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS n_punct,
+       |  printf('%.9f', len(list_filter(ws, x -> x IN ($stopList)))::BIGINT::DOUBLE / len(ws)::BIGINT) AS stop_ratio,
+       |  printf('%.9f', length(text)::DOUBLE / len(ws)::BIGINT) AS chars_per_token
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  private val txtTokens =
+    s"""WITH $toksCte
+       |SELECT d.doc_id,
+       |  len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT AS n_ws,
+       |  len(regexp_extract_all(d.text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe,
+       |  len(toks.tokens)::BIGINT AS n_analyzed
+       |FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  private val txtFingerprint =
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def txtLangid: String = {
+    def lst(l: String) = SparkEntry.LangMarkers(l).map(w => s"'$w'").mkString(",")
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |    len(list_filter(ws, x -> x IN (${lst("en")})))::BIGINT AS h_en,
+       |    len(list_filter(ws, x -> x IN (${lst("es")})))::BIGINT AS h_es,
+       |    len(list_filter(ws, x -> x IN (${lst("de")})))::BIGINT AS h_de,
+       |    len(list_filter(ws, x -> x IN (${lst("fr")})))::BIGINT AS h_fr
+       |  FROM t)
+       |SELECT doc_id, lang,
+       |  CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+       |       WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+       |       WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+       |       WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+       |       ELSE 'fr' END AS pred_lang,
+       |  h_en, h_es, h_de, h_fr
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  def all: Map[String, String] = Map(
+    "q1_agg"              -> q1Agg,
+    "q_count_lineitem"    -> qCount,
+    "q_topk_events"       -> qTopkEvents,
+    "q_dedup_latest"      -> qDedupLatest,
+    "q_antijoin"          -> qAntiJoin,
+    "q_validation_counts" -> qValidationCounts,
+    "q_warnings_top"      -> qWarningsTop,
+    "q_json_coercion"     -> qJsonCoercion,
+    "q_sample_head"       -> qSampleHead,
+    "ft_postings"         -> ftPostings,
+    "ft_doclen"           -> ftDoclen,
+    "ft_stats"            -> ftStats,
+    "ft_df"               -> ftDf,
+    "ft_bm25_topk"        -> ftBm25,
+    "dd_exact"            -> ddExact,
+    "dd_ngram_jaccard"    -> ddNgramJaccard,
+    "sim_cosine_topk"     -> simCosineTopk,
+    "txt_quality"         -> txtQuality,
+    "txt_tokens"          -> txtTokens,
+    "txt_fingerprint"     -> txtFingerprint,
+    "txt_langid"          -> txtLangid
+  )
+}

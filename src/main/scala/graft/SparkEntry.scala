@@ -1,13 +1,314 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analyze.CodeTokenizer
+import graft.index.Postings
+import graft.query.BM25
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with an equivalent DuckDB SQL oracle (generated
+  * from the same constants so tokenizer/BM25 semantics cannot drift).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(dir: String, t: String) = s"$dir/$t.parquet"
+  private def tbl(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(T(dir, t))
+
+  /** Reference query set (FIXTURES.md §2): rare needle, hot term,
+    * multi-term, camelCase≡multi-term, stopword-only, absent term. */
+  val FtQuerySet: Seq[(Int, String)] = Seq(
+    1  -> "dup",
+    2  -> "table",
+    3  -> "spark fast query",
+    4  -> "sparkFastQuery",
+    5  -> "the a of",
+    6  -> "zzznotfound",
+    7  -> "hash join merge sort",
+    8  -> "data stream window",
+    9  -> "dup table",
+    10 -> "customer order line value")
+
+  /** Flagship: top-10 BM25 over the sf0.001 documents corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    BM25.topK(spark, tbl(spark, "/root/testdata/sf0.001", "documents"),
+      col("doc_id"), col("text"), FtQuerySet)
+
+  // ---------------------------------------------------------------------
+  // Layer A — reference ETL/validation operators (SURVEY.md §2.1-§2.8)
+  // ---------------------------------------------------------------------
+
+  /** A1-A5: grouped aggregates (hash agg, map-side partials free). */
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        avg("l_quantity").as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** S4/S6/A1: count scan. */
+  private def qCount(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** A4/T4: group-by + count + deterministic top-k. */
+  private def qTopkEvents(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(5)
+
+  /** J1: dedup-by-key keep-latest — the reference's self-join DELETE
+    * (/root/reference/Services/PostgreSQLService.cs:204-209) expressed as
+    * the window it really is (no join, one shuffle). */
+  private def qDedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    tbl(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("event_type"))
+      .orderBy("user_id")
+  }
+
+  /** J2: upsert key-match = left-anti (ON CONFLICT DO NOTHING,
+    * /root/reference/Services/PostgreSQLService.cs:353). */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey")
+
+  /** P7/A3/A5: hard-constraint predicate battery + conditional counts +
+    * ratio aggregates (enum membership, range, key>0, future bound,
+    * length cap — AccessLogValidator.cs:19-138 semantics). */
+  private def qValidationCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "events")
+    val okType = col("event_type").isin("click", "view", "purchase", "signup")
+    val okValue = col("value").between(0.0, 300.0)
+    val okUser = col("user_id") > 0
+    val okTs = col("ts") <= lit("2026-01-01 00:00:00").cast("timestamp_ntz")
+    val okProps = length(col("props")) <= 100
+    val valid = okType && okValue && okUser && okTs && okProps
+    e.agg(
+      count(lit(1)).as("total"),
+      count(when(!okType, 1)).as("bad_type"),
+      count(when(!okValue, 1)).as("bad_value"),
+      count(when(!okUser, 1)).as("bad_user"),
+      count(when(!okTs, 1)).as("bad_ts"),
+      count(when(!okProps, 1)).as("bad_props"),
+      count(when(valid, 1)).as("n_valid")
+    ).withColumn("pct_valid",
+      format_string("%.4f", lit(100.0) * col("n_valid") / col("total")))
+  }
+
+  /** P8/A4: soft-warning battery -> exploded message histogram top-10
+    * (ValidationService.cs:141-239 semantics). */
+  private def qWarningsTop(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "events")
+    val warns = array(
+      when(col("value") > 250.0, lit("w_value_high")),
+      when(col("event_type") === "error", lit("w_error_event")),
+      when(hour(col("ts")) < 6, lit("w_offhours")),
+      when(get_json_object(col("props"), "$.k").cast("int") > 90, lit("w_k_high")))
+    e.select(explode(warns).as("msg")).filter(col("msg").isNotNull)
+      .groupBy("msg").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("msg")).limit(10)
+  }
+
+  /** P3/P4: lenient JSON-field coercion (try_cast null-on-failure —
+    * CSVService.cs:479-575 / ElasticSearchService.cs:267-278 semantics). */
+  private def qJsonCoercion(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").select(
+      col("event_id"),
+      expr("try_cast(get_json_object(props, '$.k') as int)").as("k_int"),
+      expr("try_cast(get_json_object(props, '$.missing') as int)").as("k_missing"))
+      .orderBy("event_id")
+
+  /** T2/T3: deterministic sample head (ordered limit). */
+  private def qSampleHead(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber").limit(1000)
+
+  // ---------------------------------------------------------------------
+  // Layer B — full-text engine (SURVEY.md §7; north_rule)
+  // ---------------------------------------------------------------------
+
+  private def qFtPostings(s: SparkSession, dir: String): DataFrame =
+    Postings.build(tbl(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy("term", "doc_id")
+
+  private def qFtDoclen(s: SparkSession, dir: String): DataFrame =
+    Postings.doclens(tbl(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  private def qFtStats(s: SparkSession, dir: String): DataFrame =
+    Postings.doclens(tbl(s, dir, "documents"), col("doc_id"), col("text"))
+      .agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl"))
+
+  private def qFtDf(s: SparkSession, dir: String): DataFrame =
+    Postings.docFreq(
+      Postings.build(tbl(s, dir, "documents"), col("doc_id"), col("text")))
+      .orderBy(col("df").desc, col("term"))
+
+  private def qFtBm25(s: SparkSession, dir: String): DataFrame =
+    BM25.topK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"), FtQuerySet)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  // ---------------------------------------------------------------------
+  // Training-data pipeline operators (builder prompt)
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup: content-hash groupBy, keep lowest id (distributed,
+    * single hash-agg shuffle). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
+      .select("doc_id", "copies", "fp")
+      .orderBy("doc_id")
+
+  /** Near-dup candidates by word-3-gram Jaccard: shingle -> inverted
+    * shingle join -> pair intersection counts (the exact counterpart the
+    * MinHash/LSH path approximates). */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val toks = d.select(col("doc_id"), CodeTokenizer.tokensCol(col("text")).as("tokens"))
+    // sequence(1, n) descends for n<1, so guard docs shorter than one shingle
+    val shingles = when(size(col("tokens")) >= 3,
+      transform(sequence(lit(1), size(col("tokens")) - 2),
+        i => concat_ws(" ", element_at(col("tokens"), i),
+          element_at(col("tokens"), i + 1), element_at(col("tokens"), i + 2)))
+    ).otherwise(array().cast("array<string>"))
+    val sh = toks.select(col("doc_id"), explode(shingles).as("shingle")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+      col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= 0.06)
+      .select(col("id_a"), col("id_b"),
+        format_string("%.9f", col("jaccard")).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-k over the embedding column (the exact
+    * baseline the IVF/LSH ANN path approximates). */
+  private def qCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val nq = aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, x) => a + x)
+    val nv = aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("cos", dot / (sqrt(nq) * sqrt(nv)))
+    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("vec_id"), col("label"),
+        format_string("%.4f", col("cos")).as("cos"))
+      .orderBy("rank")
+  }
+
+  /** Text quality scoring: length / punctuation / stopword-ratio
+    * features. */
+  private def qTxtQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val ws = split(trim(col("text")), "\\s+")
+    val nws = size(ws).cast("long")
+    val stops = size(filter(ws, t => t.isin(CodeTokenizer.Stopwords: _*))).cast("long")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long")
+    d.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nws.as("n_ws_tokens"),
+      punct.as("n_punct"),
+      format_string("%.9f", stops.cast("double") / nws).as("stop_ratio"),
+      format_string("%.9f", length(col("text")).cast("double") / nws).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex pieces. */
+  private def qTxtTokens(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("n_bpe"),
+      size(CodeTokenizer.tokensCol(col("text"))).cast("long").as("n_analyzed"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text
+    * (deterministic near-dup prefilter). */
+  private def qTxtFingerprint(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: marker-word hit counts, fixed priority
+    * argmax (en > es > de > fr), 'und' when nothing matches. */
+  private def qTxtLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    def hits(markers: Seq[String]) =
+      size(filter(ws, t => t.isin(markers: _*))).cast("long")
+    val en = hits(LangMarkers("en")); val es = hits(LangMarkers("es"))
+    val de = hits(LangMarkers("de")); val fr = hits(LangMarkers("fr"))
+    val best = greatest(en, es, de, fr)
+    d.select(col("doc_id"), col("lang"),
+      when(best === 0, lit("und"))
+        .when(en === best, lit("en"))
+        .when(es === best, lit("es"))
+        .when(de === best, lit("de"))
+        .otherwise(lit("fr")).as("pred_lang"),
+      en.as("h_en"), es.as("h_es"), de.as("h_de"), fr.as("h_fr"))
+      .orderBy("doc_id")
+  }
+
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "is", "and", "of", "a"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"              -> (q1Agg _),
+    "q_count_lineitem"    -> (qCount _),
+    "q_topk_events"       -> (qTopkEvents _),
+    "q_dedup_latest"      -> (qDedupLatest _),
+    "q_antijoin"          -> (qAntiJoin _),
+    "q_validation_counts" -> (qValidationCounts _),
+    "q_warnings_top"      -> (qWarningsTop _),
+    "q_json_coercion"     -> (qJsonCoercion _),
+    "q_sample_head"       -> (qSampleHead _),
+    "ft_postings"         -> (qFtPostings _),
+    "ft_doclen"           -> (qFtDoclen _),
+    "ft_stats"            -> (qFtStats _),
+    "ft_df"               -> (qFtDf _),
+    "ft_bm25_topk"        -> (qFtBm25 _),
+    "dd_exact"            -> (qDedupExact _),
+    "dd_ngram_jaccard"    -> (qNgramJaccard _),
+    "sim_cosine_topk"     -> (qCosineTopk _),
+    "txt_quality"         -> (qTxtQuality _),
+    "txt_tokens"          -> (qTxtTokens _),
+    "txt_fingerprint"     -> (qTxtFingerprint _),
+    "txt_langid"          -> (qTxtLangid _)
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

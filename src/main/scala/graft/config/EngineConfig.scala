@@ -1,0 +1,43 @@
+package graft.config
+
+/** Engine settings — the Spark-era analogue of the reference's
+  * `MigrationSettings` (/root/reference/Models/MigrationSettings.cs:15-84)
+  * including its `require`-battery validation
+  * (/root/reference/Validators/MigrationSettingsValidator.cs:21-83).
+  *
+  * BM25 parameters are the Elasticsearch 7.x default similarity the
+  * reference's ES index would use (k1=1.2, b=0.75 — public knowledge).
+  */
+final case class EngineConfig(
+    // BM25 / scoring
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    topK: Int = 10,
+    // segment layout
+    blockSize: Int = 128,           // postings per compressed block
+    // build partitioning
+    shards: Int = 8,                // checkpointable independent build units
+    buildPartitions: Int = 32,      // shuffle partitions inside a shard build
+    // hot-term skew: a term whose postings exceed this count is salted
+    // across ceil(df / saltTargetPostings) sub-runs
+    saltTargetPostings: Long = 1L << 20,
+    // tokenizer envelope (mirrored in graft.analyze.CodeTokenizer)
+    minTokenLen: Int = 2,
+    maxTokenLen: Int = 64
+) {
+  // Reference-style settings validation
+  // (/root/reference/Validators/MigrationSettingsValidator.cs:46-77):
+  // every envelope is checked up front, not at failure time.
+  require(k1 > 0 && k1 <= 10, s"k1 out of range: $k1")
+  require(b >= 0 && b <= 1, s"b out of range: $b")
+  require(topK >= 1 && topK <= 10000, s"topK out of range: $topK")
+  require(blockSize >= 8 && blockSize <= 65536, s"blockSize out of range: $blockSize")
+  require(shards >= 1 && shards <= 100000, s"shards out of range: $shards")
+  require(buildPartitions >= 1, s"buildPartitions out of range: $buildPartitions")
+  require(saltTargetPostings >= 1024, s"saltTargetPostings too small: $saltTargetPostings")
+  require(minTokenLen >= 1 && maxTokenLen >= minTokenLen, "token length envelope invalid")
+}
+
+object EngineConfig {
+  val default: EngineConfig = EngineConfig()
+}

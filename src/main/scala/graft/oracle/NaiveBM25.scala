@@ -1,0 +1,44 @@
+package graft.oracle
+
+import graft.analyze.CodeTokenizer
+import graft.query.BM25
+
+/** Independent single-machine BM25 scorer — the test stand-in for "the
+  * reference query set the migration tool's Elasticsearch index would
+  * return" (the reference itself is only an ES client:
+  * /root/reference/Services/ElasticSearchService.cs:150-229). No Spark.
+  *
+  * Used by ScalaTest golden suites for rank-identity: docIDs AND scores
+  * must match the engine exactly (deterministic tie-break: score desc,
+  * docId asc; summation in ascending term order).
+  */
+object NaiveBM25 {
+
+  final case class Hit(docId: Long, score: Double)
+
+  /** Score `query` against `docs` = (docId, content); returns top-k. */
+  def topK(docs: Seq[(Long, String)], query: String, k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): Seq[Hit] = {
+    val tokenized: Seq[(Long, Array[String])] =
+      docs.map { case (id, c) => (id, CodeTokenizer.tokenize(c)) }
+    val n = tokenized.size.toLong
+    val avgdl = if (n == 0) 0.0 else tokenized.map(_._2.length.toLong).sum.toDouble / n
+    val terms = CodeTokenizer.queryTerms(query)
+    // df per query term
+    val dfMap: Map[String, Long] = terms.map { t =>
+      t -> tokenized.count(_._2.contains(t)).toLong
+    }.toMap
+    val hits = tokenized.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      // ascending term order, like the engine's sort_array aggregation
+      val ws = terms.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        val df = dfMap(t)
+        if (tf > 0 && df > 0) Some(BM25.weight(tf, dl, df, n, avgdl, k1, b)) else None
+      }
+      if (ws.isEmpty) None
+      else Some(Hit(id, ws.foldLeft(0.0)(_ + _)))
+    }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+}

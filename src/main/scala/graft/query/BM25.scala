@@ -1,0 +1,81 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.analyze.CodeTokenizer
+import graft.config.EngineConfig
+import graft.index.Postings
+
+/** Okapi BM25 (k1=1.2, b=0.75 — the ES 7.x default similarity the
+  * reference's index would use; public knowledge) with Lucene-style
+  * non-negative idf.
+  *
+  * Rank identity discipline (SURVEY.md §7.4 risk 1): the scalar formula
+  * below is written once and mirrored OPERATION-FOR-OPERATION in the
+  * Column form and the DuckDB oracle SQL, and per-document scores are
+  * summed in ascending term order in all implementations, so equal
+  * inputs produce bit-equal doubles everywhere.
+  */
+object BM25 {
+
+  /** idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
+    * StrictMath.log, because Catalyst's Log expression evaluates via
+    * StrictMath — keeps the oracle bit-identical to the Column path. */
+  def idf(df: Long, n: Long): Double =
+    StrictMath.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+  /** Per-(term, doc) weight. Association mirrors the Column/SQL forms:
+    * (idf * (tf * (k1+1))) / (tf + k1 * ((1 - b) + (b * dl) / avgdl)) */
+  def weight(tf: Long, dl: Long, df: Long, n: Long, avgdl: Double,
+             k1: Double = 1.2, b: Double = 0.75): Double =
+    idf(df, n) * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+
+  /** Column form of [[weight]] given tf/dl/df columns and scalar stats. */
+  def weightCol(tf: Column, dl: Column, df: Column, n: Long, avgdl: Double,
+                k1: Double, b: Double): Column = {
+    val idfC = log(lit(1.0) + (lit(n.toDouble) - df + lit(0.5)) / (df + lit(0.5)))
+    idfC * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + (lit(b) * dl) / lit(avgdl)))
+  }
+
+  /** Top-k BM25 per query over the uncompressed postings — the
+    * declarative scoring path (Catalyst plans broadcast of the tiny
+    * query-terms×df table; one shuffle for the per-doc sum).
+    *
+    * Output: (qid int, rank long, doc_id long, score double) where score
+    * is summed in ascending term order (deterministic doubles) and rank
+    * ties break on doc_id asc.
+    */
+  def topK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+           queries: Seq[(Int, String)], cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    val post = Postings.build(docs, idCol, contentCol)
+    val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
+    val qterms = queries
+      .flatMap { case (qid, text) => CodeTokenizer.queryTerms(text).map(t => (qid, t)) }
+      .toDF("qid", "term")
+    val dfTbl = Postings.docFreq(post)
+    // (qid, term, df): tiny — broadcast side of the postings join.
+    val qdf = qterms.join(dfTbl, "term")
+    val weighted = post.join(broadcast(qdf), "term")
+      .withColumn("w", weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
+    scoreAndRank(weighted, cfg.topK)
+  }
+
+  /** Sum per-(qid, doc) weights in ascending term order, rank, take k.
+    * Input needs columns (qid, doc_id, term, w). */
+  def scoreAndRank(weighted: DataFrame, k: Int): DataFrame = {
+    val scores = weighted
+      .groupBy("qid", "doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("w")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scores.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "score")
+      .orderBy("qid", "rank")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.analyze
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class TokenizerSpec extends SparkSuite {
+
+  /** Deterministic ScalaCheck sampling (no scalatestplus bridge needed). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("camelCase splits") {
+    assert(CodeTokenizer.tokenize("parseCsvLine").toSeq === Seq("parse", "csv", "line"))
+    assert(CodeTokenizer.tokenize("parseCSVLine").toSeq === Seq("parse", "csv", "line"))
+    assert(CodeTokenizer.tokenize("HTMLParser toBM25x").toSeq === Seq("html", "parser", "bm25x"))
+  }
+
+  test("snake_case, paths, punctuation") {
+    assert(CodeTokenizer.tokenize("access_log_flag").toSeq === Seq("access", "log", "flag"))
+    assert(CodeTokenizer.tokenize("src/main/scala/Foo.scala").toSeq ===
+      Seq("src", "main", "scala", "foo", "scala"))
+    assert(CodeTokenizer.tokenize("a,b;;c--d").toSeq === Seq())
+  }
+
+  test("stopwords, digits, length envelope") {
+    assert(CodeTokenizer.tokenize("the quick AND brown").toSeq === Seq("quick", "brown"))
+    assert(CodeTokenizer.tokenize("42 1234567 sha256 x9").toSeq === Seq("sha256", "x9"))
+    assert(CodeTokenizer.tokenize("x " + "y" * 65 + " ok").toSeq === Seq("ok"))
+    assert(CodeTokenizer.tokenize("").toSeq === Seq())
+    assert(CodeTokenizer.tokenize(null).toSeq === Seq())
+  }
+
+  test("idempotence: tokenizing the joined tokens is a fixpoint") {
+    samples(Gen.listOfN(30, Gen.alphaNumStr), 100).foreach { parts =>
+      val once = CodeTokenizer.tokenize(parts.mkString(" "))
+      val twice = CodeTokenizer.tokenize(once.mkString(" "))
+      assert(once.toSeq === twice.toSeq)
+    }
+  }
+
+  test("Column implementation is identical to pure-Scala implementation") {
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.oneOf("parseCSVLine", "access_log_flag", "the", "a", "BM25Score",
+        "UTF8String", "x", "sha256sum", "..//::", "Ünïcödé čhärs", "中文 词")))
+      .map(_.mkString(" "))
+    val inputs = samples(gen, 300) :+ "" :+ "  " :+ "theThe aA"
+    val df = inputs.toDF("s")
+      .select(col("s"), CodeTokenizer.tokensCol(col("s")).as("toks"))
+    df.collect().foreach { r =>
+      val s = r.getString(0)
+      val sparkToks = r.getSeq[String](1)
+      assert(sparkToks === CodeTokenizer.tokenize(s).toSeq, s"input: <$s>")
+    }
+  }
+
+  test("Column implementation matches on the documents corpus") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"), CodeTokenizer.tokensCol(col("text")).as("toks"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) === CodeTokenizer.tokenize(r.getString(0)).toSeq)
+    }
+  }
+
+  test("query analysis: camelCase query equals multi-term query") {
+    assert(CodeTokenizer.queryTerms("sparkFastQuery") ===
+      CodeTokenizer.queryTerms("spark fast query"))
+    assert(CodeTokenizer.queryTerms("the a of") === Seq())
+  }
+}
