@@ -121,6 +121,13 @@ object OracleSql {
        |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
   }
 
+  private val ingDocmap =
+    s"""WITH $toksCte
+       |SELECT d.doc_id, sha256(d.text) AS sha, len(toks.tokens)::BIGINT AS doclen,
+       |       true AS sha_ok
+       |FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // --- training-data ops ----------------------------------------------------
 
   private val ddExact =
@@ -216,6 +223,8 @@ object OracleSql {
     "ft_stats"            -> ftStats,
     "ft_df"               -> ftDf,
     "ft_bm25_topk"        -> ftBm25,
+    "ft_wand_topk"        -> ftBm25, // WAND must be rank-identical to the declarative path
+    "ing_docmap"          -> ingDocmap,
     "dd_exact"            -> ddExact,
     "dd_ngram_jaccard"    -> ddNgramJaccard,
     "sim_cosine_topk"     -> simCosineTopk,

@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analyze.CodeTokenizer
-import graft.index.Postings
-import graft.query.BM25
+import graft.config.EngineConfig
+import graft.index.{Postings, SegmentBuilder}
+import graft.query.{BM25, Wand}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB SQL oracle (generated
@@ -162,6 +163,45 @@ object SparkEntry {
       .select(col("qid"), col("rank"), col("doc_id"),
         format_string("%.4f", col("score")).as("score"))
 
+  /** Index build config for the verify/bench corpus: enough shards to
+    * exercise checkpointing, low-enough salt target that sf0.1 hot terms
+    * actually split into multiple runs. */
+  val IndexCfg: EngineConfig = EngineConfig.default.copy(
+    shards = 4, buildPartitions = 8, saltTargetPostings = 1024)
+
+  /** Build (or resume — the manifest makes re-entry a no-op) the
+    * compressed segment index for `dir`'s documents table. */
+  def ensureIndex(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val idx = s"/tmp/graft_index_$key"
+    if (!new java.io.File(s"$idx/stats").exists())
+      SegmentBuilder.ingest(s, tbl(s, dir, "documents"),
+        col("doc_id"), col("text"), idx, IndexCfg)
+    SegmentBuilder.buildAll(s, idx, IndexCfg)
+    idx
+  }
+
+  /** Block-max WAND over the compressed segment index — must be
+    * rank-identical to the declarative ft_bm25_topk (same SQL oracle). */
+  private def qFtWand(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(s, dir)
+    Wand.topK(s, idx, FtQuerySet, IndexCfg)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+  }
+
+  /** Ingest identity surface: docId, sha256(content), doclen, plus the
+    * per-row invariant vs the source table (BASELINE.json input_hint). */
+  private def qIngDocmap(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(s, dir)
+    s.read.parquet(s"$idx/docmap")
+      .join(tbl(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"), col("sha"), col("doclen"),
+        (col("sha") === sha2(col("text"), 256)).as("sha_ok"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Training-data pipeline operators (builder prompt)
   // ---------------------------------------------------------------------
@@ -301,6 +341,8 @@ object SparkEntry {
     "ft_stats"            -> (qFtStats _),
     "ft_df"               -> (qFtDf _),
     "ft_bm25_topk"        -> (qFtBm25 _),
+    "ft_wand_topk"        -> (qFtWand _),
+    "ing_docmap"          -> (qIngDocmap _),
     "dd_exact"            -> (qDedupExact _),
     "dd_ngram_jaccard"    -> (qNgramJaccard _),
     "sim_cosine_topk"     -> (qCosineTopk _),

@@ -34,7 +34,7 @@ final case class EngineConfig(
   require(blockSize >= 8 && blockSize <= 65536, s"blockSize out of range: $blockSize")
   require(shards >= 1 && shards <= 100000, s"shards out of range: $shards")
   require(buildPartitions >= 1, s"buildPartitions out of range: $buildPartitions")
-  require(saltTargetPostings >= 1024, s"saltTargetPostings too small: $saltTargetPostings")
+  require(saltTargetPostings >= 16, s"saltTargetPostings too small: $saltTargetPostings")
   require(minTokenLen >= 1 && maxTokenLen >= minTokenLen, "token length envelope invalid")
 }
 

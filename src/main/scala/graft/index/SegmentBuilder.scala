@@ -1,0 +1,236 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.config.EngineConfig
+
+/** One posting as it leaves the salted shuffle (sorted by term, salt,
+  * docId inside each build partition). */
+final case class PostingRec(term: String, salt: Int, doc_id: Long, tf: Long, doclen: Long)
+
+/** One compressed block (parquet-embedded struct). */
+final case class BlockRow(first_doc: Long, n: Int, deltas: Array[Byte],
+                          tfs: Array[Byte], dls: Array[Byte], max_u: Double)
+
+/** One segment row = up to `blocksPerRow` blocks of one (term, salt) run.
+  * `row_seq` orders rows within the run; `n_postings`/`max_u` are
+  * row-local (query sums/maxes them per term). */
+final case class SegmentRow(term: String, salt: Int, row_seq: Int,
+                            n_postings: Long, first_doc: Long, last_doc: Long,
+                            max_u: Double, blocks: Seq[BlockRow])
+
+final case class ShardManifest(shard: Int, status: String, postings: Long,
+                               segRows: Long, bytes: Long, seconds: Double,
+                               lineage: String)
+
+/** Distributed inverted-index build with per-partition checkpointing —
+  * the engine half the reference delegates to the Elasticsearch server.
+  *
+  * Layout under `indexDir`:
+  * {{{
+  *   docmap/              (doc_id, sha, doclen [, meta…])   – identity + invariant
+  *   stats/               (n, avgdl)                         – broadcast scoring stats
+  *   postings/shard=S/    (term, doc_id, tf, doclen)         – stage-0 output,
+  *                         partitioned by shard = pmod(xxhash64(term), shards)
+  *                         so each shard build prunes to its own files
+  *   segments/shard=S/    SegmentRow parquet                 – stage-1 output
+  *   manifest/shard_S.json                                   – checkpoint + metrics
+  * }}}
+  *
+  * Checkpoint/resume (north_rule): stage 1 is a driver loop over
+  * independent shard jobs. Each finished shard writes an atomic
+  * manifest entry carrying lineage (input + config hash) and
+  * rows/bytes/seconds metrics — the Spark analogue of the reference's
+  * per-batch durations/errors (/root/reference/Models/MigrationResult.cs:49-50).
+  * A re-run skips shards whose manifest matches the lineage, so an
+  * interrupted build resumes without recomputation; shard output is
+  * deterministic, so resume yields identical segments.
+  *
+  * Skew (north_rule): postings are salted by hashed docId into
+  * ceil(df/saltTargetPostings) sub-runs for hot terms, then hash
+  * repartitioned on (term, salt) — a Zipfian term no longer lands on a
+  * single reducer. Runs of one term interleave docIds; the query layer
+  * treats each run as one more WAND cursor, and [[Codec.mergeRuns]]
+  * k-way merges them back when consolidating.
+  */
+object SegmentBuilder {
+
+  // --- stage 0: ingest --------------------------------------------------------
+
+  /** docs must have columns (doc_id long, content string); extra columns
+    * are carried into docmap. Writes docmap + stats + shard-partitioned
+    * postings. */
+  def ingest(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+             indexDir: String, cfg: EngineConfig = EngineConfig.default): Unit = {
+    val toks = Postings.tokenized(docs, idCol, contentCol).cache()
+    try {
+      // identity + per-row invariant surface (sha256(content) equality
+      // vs the source table — BASELINE.json input_hint)
+      docs.select(idCol.cast("long").as("doc_id"),
+          sha2(contentCol.cast("string"), 256).as("sha"))
+        .join(toks.select(col("doc_id"), col("doclen")), "doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docmap")
+
+      toks.agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
+
+      toks.select(col("doc_id"), col("doclen"), explode(col("tokens")).as("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
+        .write.mode(SaveMode.Overwrite).partitionBy("shard")
+        .parquet(s"$indexDir/postings")
+    } finally toks.unpersist()
+  }
+
+  def readStats(spark: SparkSession, indexDir: String): (Long, Double) = {
+    val r = spark.read.parquet(s"$indexDir/stats").head()
+    (r.getLong(0), r.getDouble(1))
+  }
+
+  // --- stage 1: per-shard segment build ----------------------------------------
+
+  /** Blocks-per-segment-row cap: bounds row size (~blockSize*blocksPerRow
+    * postings, a few hundred KB compressed) independent of term df. */
+  val BlocksPerRow = 256
+
+  def buildShard(spark: SparkSession, indexDir: String, shard: Int,
+                 cfg: EngineConfig): ShardManifest = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val (_, avgdl) = readStats(spark, indexDir)
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("shard") === shard) // partition-pruned scan
+
+    // hot-term detection: df per term (map-side-combined agg), keep only
+    // the few terms needing >1 salt — broadcastable by construction
+    val hot = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cfg.saltTargetPostings)
+      .withColumn("nsalts",
+        ceil(col("df").cast("double") / cfg.saltTargetPostings).cast("int"))
+      .select("term", "nsalts")
+
+    val salted = post.join(broadcast(hot), Seq("term"), "left")
+      .withColumn("salt",
+        when(col("nsalts").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("doc_id")), col("nsalts"))).cast("int"))
+      .select(col("term"), col("salt"), col("doc_id"),
+        col("tf").cast("long").as("tf"), col("doclen").cast("long").as("doclen"))
+
+    val postingsAcc = spark.sparkContext.longAccumulator(s"postings_$shard")
+    val bytesAcc = spark.sparkContext.longAccumulator(s"bytes_$shard")
+
+    val segments = salted
+      .repartition(cfg.buildPartitions, col("term"), col("salt"))
+      .sortWithinPartitions("term", "salt", "doc_id")
+      .as[PostingRec]
+      .mapPartitions { it =>
+        encodeRuns(it, cfg.blockSize, BlocksPerRow, cfg.k1, cfg.b, avgdl,
+          postingsAcc, bytesAcc)
+      }
+
+    segments.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/segments/shard=$shard")
+    val segRows = spark.read.parquet(s"$indexDir/segments/shard=$shard").count()
+    ShardManifest(shard, "done", postingsAcc.value, segRows, bytesAcc.value,
+      (System.nanoTime() - t0) / 1e9, lineage(spark, indexDir, cfg))
+  }
+
+  /** Iterator-to-iterator run encoder: never materializes a run; at most
+    * one segment row (<= blockSize*blocksPerRow postings) is in flight. */
+  def encodeRuns(rows: Iterator[PostingRec], blockSize: Int, blocksPerRow: Int,
+                 k1: Double, b: Double, avgdl: Double,
+                 postingsAcc: LongAccumulator = null,
+                 bytesAcc: LongAccumulator = null): Iterator[SegmentRow] = {
+    val it = rows.buffered
+    val runs = new Iterator[Iterator[SegmentRow]] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Iterator[SegmentRow] = {
+        val term = it.head.term
+        val salt = it.head.salt
+        val run = new Iterator[Codec.Posting] {
+          def hasNext: Boolean =
+            it.hasNext && it.head.term == term && it.head.salt == salt
+          def next(): Codec.Posting = {
+            val r = it.next()
+            Codec.Posting(r.doc_id, r.tf, r.doclen)
+          }
+        }
+        Codec.encodeRun(run, blockSize, k1, b, avgdl)
+          .grouped(blocksPerRow).zipWithIndex.map { case (blocks, seq) =>
+            val n = blocks.map(_.n.toLong).sum
+            val bytes = blocks.map(bl =>
+              bl.deltas.length + bl.tfs.length + bl.dls.length).sum.toLong
+            if (postingsAcc != null) postingsAcc.add(n)
+            if (bytesAcc != null) bytesAcc.add(bytes)
+            SegmentRow(term, salt, seq, n,
+              blocks.head.firstDoc, lastDoc(blocks.last), blocks.map(_.maxU).max,
+              blocks.map(bl => BlockRow(bl.firstDoc, bl.n, bl.deltas, bl.tfs, bl.dls, bl.maxU)))
+          }
+      }
+    }
+    runs.flatten
+  }
+
+  private def lastDoc(b: Codec.Block): Long = {
+    var d = b.firstDoc
+    val r = new Codec.VLongReader(b.deltas)
+    while (r.hasNext) d += r.next()
+    d
+  }
+
+  // --- checkpoint manifest ------------------------------------------------------
+
+  def lineage(spark: SparkSession, indexDir: String, cfg: EngineConfig): String = {
+    val (n, avgdl) = readStats(spark, indexDir)
+    val md = MessageDigest.getInstance("SHA-256")
+    val s = s"$indexDir|n=$n|avgdl=$avgdl|k1=${cfg.k1}|b=${cfg.b}|bs=${cfg.blockSize}|" +
+      s"shards=${cfg.shards}|salt=${cfg.saltTargetPostings}"
+    md.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+  }
+
+  private def manifestPath(indexDir: String, shard: Int): Path =
+    Paths.get(indexDir, "manifest", s"shard_$shard.json")
+
+  def writeManifest(indexDir: String, m: ShardManifest): Unit = {
+    val dir = Paths.get(indexDir, "manifest")
+    Files.createDirectories(dir)
+    val json =
+      s"""{"shard":${m.shard},"status":"${m.status}","postings":${m.postings},""" +
+        s""""segRows":${m.segRows},"bytes":${m.bytes},"seconds":${m.seconds},""" +
+        s""""lineage":"${m.lineage}"}"""
+    val tmp = dir.resolve(s"shard_${m.shard}.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(indexDir, m.shard), // atomic checkpoint commit
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def manifestDone(indexDir: String, shard: Int, expectedLineage: String): Boolean = {
+    val p = manifestPath(indexDir, shard)
+    Files.exists(p) && {
+      val s = Files.readString(p)
+      s.contains("\"status\":\"done\"") && s.contains(expectedLineage)
+    }
+  }
+
+  /** Driver loop: build every shard not already checkpointed with a
+    * matching lineage. Returns the manifests of the shards built NOW
+    * (resume evidence: an up-to-date index returns Nil). */
+  def buildAll(spark: SparkSession, indexDir: String,
+               cfg: EngineConfig = EngineConfig.default): Seq[ShardManifest] = {
+    val lin = lineage(spark, indexDir, cfg)
+    (0 until cfg.shards).flatMap { shard =>
+      if (manifestDone(indexDir, shard, lin)) None
+      else {
+        val m = buildShard(spark, indexDir, shard, cfg)
+        writeManifest(indexDir, m)
+        Some(m)
+      }
+    }
+  }
+}

@@ -1,0 +1,232 @@
+package graft.query
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.CodeTokenizer
+import graft.config.EngineConfig
+import graft.index.{BlockRow, SegmentBuilder}
+
+/** Block-max WAND top-k over the compressed segment index — the
+  * score-skipping serving path (north_rule). Exactness contract: results
+  * are rank-identical (docIDs AND bit-equal scores) to the declarative
+  * [[BM25.topK]] path and the naive oracle, because
+  *  - exact scoring always calls the shared [[BM25.weight]] in ascending
+  *    term order, and
+  *  - upper bounds (idf * block max_u) are inflated by 1+1e-9 before any
+  *    skip decision, so float association differences can only make the
+  *    engine score MORE candidates, never skip a true top-k member; tie
+  *    candidates (bound == threshold) are never skipped and resolve by
+  *    the deterministic (score desc, docId asc) comparator.
+  */
+object Wand {
+
+  final case class QSegRow(qid: Int, term: String, salt: Int, row_seq: Int,
+                           n_postings: Long, first_doc: Long, last_doc: Long,
+                           max_u: Double, blocks: Seq[BlockRow])
+
+  final case class Hit(qid: Int, rank: Long, doc_id: Long, score: Double)
+
+  private val BoundInflate = 1.0 + 1e-9
+
+  /** One (term, salt) run: lazily-decoded cursor over its blocks. */
+  private final class Cursor(val term: String, val idf: Double, val df: Long,
+                             rows: Array[QSegRow]) {
+    // flatten blocks across row_seq order; skip metadata per block
+    private val blocks: Array[BlockRow] = rows.sortBy(_.row_seq).flatMap(_.blocks)
+    private val nb = blocks.length
+    // upper bound on docIds in block i (exact lastDoc not needed: docs in
+    // block i are < firstDoc of block i+1; last block uses the row max)
+    private val boundAfter: Array[Long] = Array.tabulate(nb)(i =>
+      if (i + 1 < nb) blocks(i + 1).first_doc else Long.MaxValue)
+    val maxURun: Double = rows.map(_.max_u).max
+    def ub: Double = idf * maxURun * BoundInflate
+
+    private var bi = 0
+    private var pi = 0
+    private var docs: Array[Long] = _
+    private var tfs: Array[Long] = _
+    private var dls: Array[Long] = _
+    var exhausted: Boolean = nb == 0
+
+    private def decode(): Unit = if (docs == null) {
+      val b = blocks(bi)
+      val arr = graft.index.Codec.decodeBlock(
+        graft.index.Codec.Block(b.first_doc, b.n, b.deltas, b.tfs, b.dls, b.max_u))
+      docs = arr.map(_.docId); tfs = arr.map(_.tf); dls = arr.map(_.dl)
+    }
+
+    def curDoc: Long = { decode(); docs(pi) }
+    def curTf: Long = tfs(pi)
+    def curDl: Long = dls(pi)
+
+    /** Block-level UB for the block that would contain `target`
+      * (metadata only, no decode). */
+    def blockUbFor(target: Long): Double = {
+      var i = bi
+      while (i + 1 < nb && blocks(i + 1).first_doc <= target) i += 1
+      idf * blocks(i).max_u * BoundInflate
+    }
+
+    /** First docId strictly after the block containing `target`. */
+    def nextBoundaryAfter(target: Long): Long = {
+      var i = bi
+      while (i + 1 < nb && blocks(i + 1).first_doc <= target) i += 1
+      boundAfter(i)
+    }
+
+    def nextGEQ(target: Long): Unit = {
+      if (exhausted) return
+      // block skip on metadata only
+      if (target > curDocLowerBound()) {
+        var moved = false
+        while (bi + 1 < nb && blocks(bi + 1).first_doc <= target) { bi += 1; moved = true }
+        if (moved) { docs = null; pi = 0 }
+      }
+      decode()
+      // in-block: galloping not needed at blockSize<=1024; binary search
+      var lo = pi; var hi = docs.length
+      if (docs(lo) < target) {
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (docs(mid) < target) lo = mid + 1 else hi = mid
+        }
+        if (lo == docs.length) {
+          if (bi + 1 < nb) { bi += 1; pi = 0; docs = null; decode() }
+          else { exhausted = true; return }
+        } else pi = lo
+      }
+    }
+
+    private def curDocLowerBound(): Long =
+      if (docs == null) blocks(bi).first_doc else docs(pi)
+
+    def advance(): Unit = {
+      decode()
+      if (pi + 1 < docs.length) pi += 1
+      else if (bi + 1 < nb) { bi += 1; pi = 0; docs = null }
+      else exhausted = true
+    }
+  }
+
+  /** Exact block-max WAND for one query. */
+  def wandQuery(qid: Int, rows: Array[QSegRow], dfMap: Map[String, Long],
+                n: Long, avgdl: Double, k: Int, k1: Double, b: Double): Seq[Hit] = {
+    val cursors: Array[Cursor] = rows.groupBy(r => (r.term, r.salt)).map {
+      case ((term, _), rs) =>
+        val df = dfMap(term)
+        new Cursor(term, BM25.idf(df, n), df, rs)
+    }.toArray.filter(!_.exhausted)
+    if (cursors.isEmpty) return Seq.empty
+
+    // k-best by (score desc, docId asc); head of the set = current worst
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
+    val heap = mutable.TreeSet.empty[(Double, Long)](worstFirst)
+    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head._1
+    def offer(score: Double, doc: Long): Unit = {
+      if (heap.size < k) heap.add((score, doc))
+      else {
+        val (ws, wd) = heap.head
+        if (score > ws || (score == ws && doc < wd)) { heap.remove(heap.head); heap.add((score, doc)) }
+      }
+    }
+
+    val active = mutable.ArrayBuffer[Cursor](cursors: _*)
+    while (active.nonEmpty) {
+      val sorted = active.sortBy(_.curDoc)
+      // pivot: first prefix whose summed run-UBs could reach theta
+      var acc = 0.0
+      var pIdx = -1
+      var i = 0
+      while (i < sorted.length && pIdx == -1) {
+        acc += sorted(i).ub
+        if (acc >= theta) pIdx = i
+        i += 1
+      }
+      if (pIdx == -1) return finish(qid, heap, k)
+      val pivot = sorted(pIdx).curDoc
+      // extend to every cursor positioned exactly at the pivot — they all
+      // contribute to its score and must be covered by any skip bound
+      var endIdx = pIdx
+      while (endIdx + 1 < sorted.length && sorted(endIdx + 1).curDoc == pivot) endIdx += 1
+
+      if (sorted.head.curDoc == pivot) {
+        // block-max refinement before decoding/scoring
+        var blockSum = 0.0
+        var j = 0
+        while (j <= endIdx) { blockSum += sorted(j).blockUbFor(pivot); j += 1 }
+        if (blockSum < theta) {
+          // skip past the current block configuration, capped at the next
+          // cursor's position (beyond it other cursors could contribute)
+          var d = Long.MaxValue
+          j = 0
+          while (j <= endIdx) {
+            val nb = sorted(j).nextBoundaryAfter(pivot)
+            if (nb < d) d = nb
+            j += 1
+          }
+          if (endIdx + 1 < sorted.length && sorted(endIdx + 1).curDoc < d)
+            d = sorted(endIdx + 1).curDoc
+          val target = math.max(pivot + 1, d)
+          j = 0
+          while (j <= endIdx) { sorted(j).nextGEQ(target); j += 1 }
+        } else {
+          // full scoring: shared scalar formula, ascending term order
+          val contribs = mutable.ArrayBuffer.empty[(String, Double)]
+          j = 0
+          while (j <= endIdx) {
+            val c = sorted(j)
+            if (!c.exhausted && c.curDoc == pivot)
+              contribs += ((c.term, BM25.weight(c.curTf, c.curDl, c.df, n, avgdl, k1, b)))
+            j += 1
+          }
+          var score = 0.0
+          contribs.sortBy(_._1).foreach(score += _._2)
+          offer(score, pivot)
+          j = 0
+          while (j <= endIdx) {
+            if (!sorted(j).exhausted && sorted(j).curDoc == pivot) sorted(j).advance()
+            j += 1
+          }
+        }
+      } else {
+        sorted.head.nextGEQ(pivot)
+      }
+      active.filterInPlace(!_.exhausted)
+    }
+    finish(qid, heap, k)
+  }
+
+  private def finish(qid: Int, heap: mutable.TreeSet[(Double, Long)], k: Int): Seq[Hit] =
+    heap.toSeq.sortBy { case (s, d) => (-s, d) }.take(k)
+      .zipWithIndex.map { case ((s, d), r) => Hit(qid, (r + 1).toLong, d, s) }
+
+  /** Spark entry: one task per query over the broadcast-joined segment
+    * rows of its terms (posting lists arrive compressed; block-max WAND
+    * decodes only the blocks it cannot skip). */
+  def topK(spark: SparkSession, indexDir: String, queries: Seq[(Int, String)],
+           cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    val (n, avgdl) = SegmentBuilder.readStats(spark, indexDir)
+    val allTerms = queries.flatMap { case (_, t) => CodeTokenizer.queryTerms(t) }.distinct
+    val seg = spark.read.parquet(s"$indexDir/segments")
+      .filter(col("term").isin(allTerms: _*)) // pushed to parquet row groups
+    val dfMap: Map[String, Long] = seg.groupBy("term")
+      .agg(sum("n_postings").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q2t = queries.flatMap { case (qid, t) => CodeTokenizer.queryTerms(t).map(qid -> _) }
+      .toDF("qid", "term")
+    val k = cfg.topK; val k1 = cfg.k1; val b = cfg.b
+    seg.join(broadcast(q2t), "term")
+      .as[QSegRow]
+      .groupByKey(_.qid)
+      .flatMapGroups { (qid, rows) =>
+        wandQuery(qid, rows.toArray, dfMap, n, avgdl, k, k1, b).iterator
+      }
+      .toDF()
+      .orderBy("qid", "rank")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+import scala.reflect.io.Directory
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.config.EngineConfig
+
+/** Segment build + checkpoint/resume. Uses a low saltTargetPostings so
+  * the Zipfian test corpus actually triggers multi-run hot-term salting,
+  * and a small blockSize so runs span many blocks. */
+class SegmentBuilderSpec extends SparkSuite {
+
+  private val cfg = EngineConfig.default.copy(
+    shards = 4, buildPartitions = 4, blockSize = 16, saltTargetPostings = 128)
+  private val docsPath = "/root/testdata/sf0.001/documents.parquet"
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_idx_").toString
+    d
+  }
+
+  private def buildIndex(dir: String): Unit = {
+    val docs = spark.read.parquet(docsPath)
+    SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, cfg)
+    val built = SegmentBuilder.buildAll(spark, dir, cfg)
+    assert(built.map(_.shard).sorted === (0 until cfg.shards))
+  }
+
+  private def decodedPostings(dir: String): Seq[(String, Long, Long, Long)] = {
+    spark.read.parquet(s"$dir/segments").as[Wide](Wide.enc).collect().toSeq
+      .flatMap { row =>
+        row.blocks.flatMap { b =>
+          Codec.decodeBlock(Codec.Block(b.first_doc, b.n, b.deltas, b.tfs, b.dls, b.max_u))
+            .map(p => (row.term, p.docId, p.tf, p.dl))
+        }
+      }.sortBy(t => (t._1, t._2))
+  }
+
+  test("segments decode back to exactly the postings table") {
+    val dir = freshDir()
+    try {
+      buildIndex(dir)
+      val direct = Postings.build(
+        spark.read.parquet(docsPath), col("doc_id"), col("text"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(2)))
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(decodedPostings(dir) === direct)
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("hot terms are salted into multiple runs; runs k-way merge losslessly") {
+    val dir = freshDir()
+    try {
+      buildIndex(dir)
+      val seg = spark.read.parquet(s"$dir/segments").as[Wide](Wide.enc).collect()
+      val runsPerTerm = seg.groupBy(_.term).view.mapValues(_.map(_.salt).distinct.size)
+      assert(runsPerTerm.values.max > 1, "expected at least one salted hot term")
+      // merge invariant per hot term: k-way merge of runs == sorted union
+      val hot = runsPerTerm.filter(_._2 > 1).keys.head
+      val runs = seg.filter(_.term == hot).groupBy(_.salt).values.toSeq.map { rows =>
+        rows.sortBy(_.row_seq).iterator.flatMap(_.blocks).flatMap(b =>
+          Codec.decodeBlock(Codec.Block(b.first_doc, b.n, b.deltas, b.tfs, b.dls, b.max_u)))
+      }
+      val merged = Codec.mergeRuns(runs).toList
+      assert(merged.map(_.docId) === merged.map(_.docId).sorted)
+      assert(merged.map(_.docId).distinct.size === merged.size)
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("interrupted build resumes without recomputation and yields identical segments") {
+    val dirA = freshDir(); val dirB = freshDir()
+    try {
+      // full build A
+      buildIndex(dirA)
+      // interrupted build B: stage 0 + only shards 0,1, then "crash"
+      val docs = spark.read.parquet(docsPath)
+      SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dirB, cfg)
+      for (s <- Seq(0, 1))
+        SegmentBuilder.writeManifest(dirB, SegmentBuilder.buildShard(spark, dirB, s, cfg))
+      // resume: exactly the unfinished shards run
+      val resumed = SegmentBuilder.buildAll(spark, dirB, cfg)
+      assert(resumed.map(_.shard).sorted === Seq(2, 3))
+      // second resume: nothing runs at all
+      assert(SegmentBuilder.buildAll(spark, dirB, cfg) === Seq.empty)
+      // identical final segments
+      assert(decodedPostings(dirB) === decodedPostings(dirA))
+    } finally {
+      new Directory(new java.io.File(dirA)).deleteRecursively()
+      new Directory(new java.io.File(dirB)).deleteRecursively()
+    }
+  }
+
+  test("lineage change (different config) invalidates checkpoints") {
+    val dir = freshDir()
+    try {
+      buildIndex(dir)
+      val cfg2 = cfg.copy(blockSize = 32)
+      val rebuilt = SegmentBuilder.buildAll(spark, dir, cfg2)
+      assert(rebuilt.map(_.shard).sorted === (0 until cfg.shards))
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("manifest metrics account for every posting") {
+    val dir = freshDir()
+    try {
+      val docs = spark.read.parquet(docsPath)
+      SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, cfg)
+      val ms = SegmentBuilder.buildAll(spark, dir, cfg)
+      val totalPostings = ms.map(_.postings).sum
+      val expected = Postings.build(docs, col("doc_id"), col("text")).count()
+      assert(totalPostings === expected)
+      assert(ms.forall(_.bytes > 0))
+      // bound sanity: compressed payload well under 8 bytes/posting
+      assert(ms.map(_.bytes).sum < totalPostings * 8)
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+}
+
+/** Segment row shape for decoding in tests (top-level: Spark encoders
+  * cannot handle inner classes). */
+case class Wide(term: String, salt: Int, row_seq: Int, n_postings: Long,
+                first_doc: Long, last_doc: Long, max_u: Double, blocks: Seq[BlockRow])
+object Wide {
+  val enc: org.apache.spark.sql.Encoder[Wide] =
+    org.apache.spark.sql.Encoders.product[Wide]
+}

@@ -1,0 +1,70 @@
+package graft.query
+
+import java.nio.file.Files
+import scala.reflect.io.Directory
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkSuite}
+import graft.config.EngineConfig
+import graft.index.SegmentBuilder
+import graft.oracle.NaiveBM25
+
+/** Rank identity of the block-max WAND serving path: must equal the
+  * declarative BM25 path AND the naive oracle — docIDs and bit-equal
+  * scores — under aggressive skipping pressure (tiny blocks, salted hot
+  * terms, duplicate-doc ties). */
+class WandSpec extends SparkSuite {
+
+  private val cfg = EngineConfig.default.copy(
+    shards = 4, buildPartitions = 4, blockSize = 16, saltTargetPostings = 128)
+  private val docsPath = "/root/testdata/sf0.001/documents.parquet"
+
+  private lazy val indexDir: String = {
+    val dir = Files.createTempDirectory("graft_wand_").toString
+    val docs = spark.read.parquet(docsPath)
+    SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, cfg)
+    SegmentBuilder.buildAll(spark, dir, cfg)
+    sys.addShutdownHook(new Directory(new java.io.File(dir)).deleteRecursively())
+    dir
+  }
+
+  private def collectHits(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[(Long, Double)]] =
+    df.collect().groupBy(_.getInt(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq)
+      .toMap
+
+  test("WAND == DataFrame BM25 == naive oracle on all reference queries") {
+    val docsDf = spark.read.parquet(docsPath)
+    val wand = collectHits(Wand.topK(spark, indexDir, SparkEntry.FtQuerySet, cfg))
+    val declarative = collectHits(
+      BM25.topK(spark, docsDf, col("doc_id"), col("text"), SparkEntry.FtQuerySet, cfg))
+    assert(wand === declarative)
+    val docsLocal = docsDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    for ((qid, text) <- SparkEntry.FtQuerySet) {
+      val oracle = NaiveBM25.topK(docsLocal, text, cfg.topK, cfg.k1, cfg.b)
+        .map(h => (h.docId, h.score))
+      assert(wand.getOrElse(qid, Seq.empty) === oracle, s"q$qid <$text>")
+    }
+  }
+
+  test("ties break deterministically under WAND (duplicate docs)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wand_tie_").toString
+    try {
+      val docs = (0L until 50L)
+        .map(i => (i, if (i % 2 == 0) "alpha beta gamma" else "delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      val c = cfg.copy(shards = 2, blockSize = 8, saltTargetPostings = 16)
+      SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, c)
+      SegmentBuilder.buildAll(spark, dir, c)
+      val hits = Wand.topK(spark, dir, Seq(1 -> "alpha zeta"), c).collect()
+      val ids = hits.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      // alpha docs (even ids) all tie; zeta docs (odd) tie lower; ranks
+      // must follow (score desc, docId asc)
+      val docsLocal = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val oracle = NaiveBM25.topK(docsLocal, "alpha zeta", c.topK, c.k1, c.b).map(_.docId)
+      assert(ids === oracle)
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+}
