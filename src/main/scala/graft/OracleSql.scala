@@ -134,7 +134,10 @@ object OracleSql {
     """SELECT min(doc_id) AS doc_id, count(*) AS copies, md5(text) AS fp
       |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 
-  private val ddNgramJaccard =
+  /** Exact word-3-gram pairwise Jaccard at `threshold` — the oracle for
+    * both the exact pipeline and the MinHash+LSH pipeline (whose exact
+    * verification on candidates recovers the same pair set). */
+  private def ddJaccard(threshold: Double) =
     s"""WITH $toksCte,
        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
@@ -150,7 +153,17 @@ object OracleSql {
        |    i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) AS jaccard
        |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
        |               JOIN sizes sb ON i.id_b = sb.doc_id)
-       |WHERE jaccard >= 0.06 ORDER BY id_a, id_b""".stripMargin
+       |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  private val mmFeatures =
+    """SELECT doc_id,
+      |  (['jpg','png','webp','wav'])[(doc_id % 4 + 1)::INT] AS format,
+      |  (16 + (doc_id % 16) * 8)::INT AS width,
+      |  (16 + (doc_id % 9) * 12)::INT AS height,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  printf('%.9f', list_sum(list_transform(range(1, length(text) + 1),
+      |    i -> ascii(substr(text, i::INT, 1))))::DOUBLE / length(text)) AS mean_byte
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   private val simCosineTopk =
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -226,8 +239,10 @@ object OracleSql {
     "ft_wand_topk"        -> ftBm25, // WAND must be rank-identical to the declarative path
     "ing_docmap"          -> ingDocmap,
     "dd_exact"            -> ddExact,
-    "dd_ngram_jaccard"    -> ddNgramJaccard,
+    "dd_ngram_jaccard"    -> ddJaccard(0.06),
+    "dd_minhash_lsh"      -> ddJaccard(0.5),
     "sim_cosine_topk"     -> simCosineTopk,
+    "mm_features"         -> mmFeatures,
     "txt_quality"         -> txtQuality,
     "txt_tokens"          -> txtTokens,
     "txt_fingerprint"     -> txtFingerprint,

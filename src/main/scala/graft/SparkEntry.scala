@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.analyze.CodeTokenizer
 import graft.config.EngineConfig
 import graft.index.{Postings, SegmentBuilder}
+import graft.ops.{Dedup, Multimodal, Similarity}
 import graft.query.{BM25, Wand}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -246,22 +247,46 @@ object SparkEntry {
   }
 
   /** Brute-force cosine top-k over the embedding column (the exact
-    * baseline the IVF/LSH ANN path approximates). */
-  private def qCosineTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = tbl(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-    val nq = aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, x) => a + x)
-    val nv = aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)
-    val scored = e.crossJoin(broadcast(q))
-      .withColumn("cos", dot / (sqrt(nq) * sqrt(nv)))
-    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    * baseline the LSH ANN path approximates). */
+  private def qCosineTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(tbl(s, dir, "embeddings"), 0L, 10)
       .select(col("rank"), col("vec_id"), col("label"),
         format_string("%.4f", col("cos")).as("cos"))
       .orderBy("rank")
+
+  /** Random-hyperplane LSH ANN (approximate; recall vs the brute-force
+    * baseline is asserted in SimilaritySpec — no SQL oracle). */
+  private def qAnnTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(tbl(s, dir, "embeddings"), 0L, 10)
+      .select(col("rank"), col("vec_id"), col("label"),
+        format_string("%.4f", col("cos")).as("cos"))
+      .orderBy("rank")
+
+  /** MinHash+LSH near-dup detection with exact verification on the
+    * candidate set — oracle is the exact-Jaccard SQL at the same
+    * threshold (banding at 16x4 over 64 hashes has ~1e-18 miss
+    * probability for this corpus's >0.9 near-dup pairs). */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(tbl(s, dir, "documents"), col("doc_id"), col("text"), 0.5)
+      .select(col("id_a"), col("id_b"),
+        format_string("%.9f", col("jaccard")).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash signatures (64-bit, FNV-1a bit votes). Candidate pairing is
+    * tested in DedupSpec; signatures are engine-specific (rows-only check). */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDf(tbl(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("doc_id"), format_string("%016x", col("simhash")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: binary media column + typed metadata, batch
+    * feature extraction (stubbed decode — see Multimodal.decodeStub). */
+  private def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(tbl(s, dir, "documents"), col("doc_id"), col("text"))
+    Multimodal.features(media).toDF()
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_bytes"), format_string("%.9f", col("mean_byte")).as("mean_byte"))
+      .orderBy("doc_id")
   }
 
   /** Text quality scoring: length / punctuation / stopword-ratio
@@ -345,7 +370,11 @@ object SparkEntry {
     "ing_docmap"          -> (qIngDocmap _),
     "dd_exact"            -> (qDedupExact _),
     "dd_ngram_jaccard"    -> (qNgramJaccard _),
+    "dd_minhash_lsh"      -> (qMinhashLsh _),
+    "dd_simhash"          -> (qSimhash _),
     "sim_cosine_topk"     -> (qCosineTopk _),
+    "sim_ann_topk"        -> (qAnnTopk _),
+    "mm_features"         -> (qMmFeatures _),
     "txt_quality"         -> (qTxtQuality _),
     "txt_tokens"          -> (qTxtTokens _),
     "txt_fingerprint"     -> (qTxtFingerprint _),

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.CodeTokenizer
+
+/** Deduplication operators for training-data pipelines: exact
+  * (content-hash), n-gram Jaccard (exact pairwise), MinHash+LSH
+  * (approximate, band-bucketed — the 100 TB path), and SimHash.
+  *
+  * Scale notes: exact dedup is one hash agg; MinHash is one explode +
+  * one hash agg (64 `min` slots, map-side combined) + a band explode
+  * whose self-join only materializes same-bucket pairs — never the
+  * O(n^2) pair space. Verification joins run on the candidate set only.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles over analyzer tokens (order-preserving). */
+  def shinglesCol(tokens: Column): Column =
+    when(size(tokens) >= 3,
+      transform(sequence(lit(1), size(tokens) - 2),
+        i => concat_ws(" ", element_at(tokens, i),
+          element_at(tokens, i + 1), element_at(tokens, i + 2)))
+    ).otherwise(array().cast("array<string>"))
+
+  /** (doc_id, shingle) distinct. */
+  def shingleTable(docs: DataFrame, idCol: Column, contentCol: Column): DataFrame =
+    docs.select(idCol.cast("long").as("doc_id"),
+        explode(shinglesCol(CodeTokenizer.tokensCol(contentCol))).as("shingle"))
+      .distinct()
+
+  /** Exact dedup: keep the lowest id per content hash. */
+  def exact(docs: DataFrame, idCol: Column, contentCol: Column): DataFrame =
+    docs.groupBy(md5(contentCol).as("fp"))
+      .agg(min(idCol.cast("long")).as("doc_id"), count(lit(1)).as("copies"))
+      .select("doc_id", "copies", "fp")
+
+  /** MinHash signatures: numHashes permutations approximated by seeded
+    * xxhash64 over each shingle; one hash-aggregation, no UDF. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** LSH banding: candidate pairs sharing any (band, band-hash) bucket.
+    * bands * rowsPerBand must equal the signature length. */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sig.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("band", "key")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from banding, then
+    * exact-Jaccard verification restricted to candidates. */
+  def minhashNearDups(docs: DataFrame, idCol: Column, contentCol: Column,
+                      threshold: Double, numHashes: Int = 64,
+                      bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sh = shingleTable(docs, idCol, contentCol).cache()
+    val cand = lshCandidates(minhashSignatures(sh, numHashes), bands, rowsPerBand)
+    val shA = sh.select(col("doc_id").as("id_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("shingle"))
+    val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --- SimHash ---------------------------------------------------------------
+
+  /** FNV-1a 64-bit — tiny, deterministic, public-domain hash for the
+    * SimHash bit votes. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over tokens (tf-weighted bit votes). */
+  def simhash64(tokens: Iterable[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a64(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** (doc_id, simhash) via a typed map over analyzer tokens. */
+  def simhashDf(docs: DataFrame, idCol: Column, contentCol: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(idCol.cast("long").as("doc_id"),
+        CodeTokenizer.tokensCol(contentCol).as("tokens"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) => (id, simhash64(toks)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup candidates: block on 4x16-bit bands (any pair
+    * within Hamming distance <= 3 shares at least one intact band), then
+    * verify the true Hamming distance. */
+  def simhashCandidates(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bandExprs = (0 until 4).map(bnd => struct(lit(bnd).as("band"),
+      shiftright(col("simhash"), bnd * 16).bitwiseAND(lit(0xffffL)).as("key")))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+        explode(array(bandExprs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array&lt;float&gt;):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH-bucketed ANN as the scale path (candidates come from
+  * a handful of sign-pattern buckets instead of the full corpus; at
+  * 100 TB the bucket table is the shuffle key and each query probes
+  * O(planes) buckets).
+  */
+object Similarity {
+
+  /** cos(q, v) with the exact association dot / (sqrt(nq) * sqrt(nv)). */
+  def cosineCol(qv: Column, v: Column): Column = {
+    val dot = aggregate(zip_with(qv, v, (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val nq = aggregate(transform(qv, x => x * x), lit(0.0), (a, x) => a + x)
+    val nv = aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x)
+    dot / (sqrt(nq) * sqrt(nv))
+  }
+
+  /** Exact brute-force cosine top-k vs the vector with id `queryId`. */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("cos", cosineCol(col("qv"), col("v")))
+    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "vec_id", "label", "cos")
+  }
+
+  // --- random-hyperplane LSH ----------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1)
+    * (splitmix64 over (plane, dim) — no RNG state, reproducible across
+    * executors and runs). */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  def planes(nPlanes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dims)(i => planeComponent(p, i)))
+
+  def bucketOf(v: Array[Double], pl: Array[Array[Double]]): Int = {
+    var mask = 0
+    var p = 0
+    while (p < pl.length) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += pl(p)(i) * v(i); i += 1 }
+      if (dot >= 0) mask |= (1 << p)
+      p += 1
+    }
+    mask
+  }
+
+  /** (vec_id, label, v, bucket) — bucket assignment is one narrow map. */
+  def bucketed(embeddings: DataFrame, nPlanes: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val dims = e.select(size(col("v"))).head().getInt(0)
+    val pl = planes(nPlanes, dims)
+    e.as[(Long, Int, Array[Double])]
+      .map { case (id, label, v) => (id, label, v, bucketOf(v, pl)) }
+      .toDF("vec_id", "label", "v", "bucket")
+  }
+
+  /** ANN top-k: candidates = all buckets within Hamming distance
+    * `probeRadius` of the query's bucket (multi-probe LSH), ranked by
+    * exact cosine. radius 2 over 8 planes probes 37/256 buckets — ~7x
+    * pruning that holds at any corpus size. */
+  def annTopK(embeddings: DataFrame, queryId: Long, k: Int, nPlanes: Int = 8,
+              probeRadius: Int = 2): DataFrame = {
+    val b = bucketed(embeddings, nPlanes).cache()
+    val qRow = b.filter(col("vec_id") === queryId).head()
+    val qBucket = qRow.getInt(3)
+    val probeBuckets = (0 until (1 << nPlanes))
+      .filter(m => Integer.bitCount(m) <= probeRadius)
+      .map(m => qBucket ^ m)
+    val qv = array(qRow.getSeq[Double](2).map(lit): _*)
+    val cand = b.filter(col("bucket").isin(probeBuckets: _*))
+      .withColumn("cos", cosineCol(qv, col("v")))
+    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    val res = cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "vec_id", "label", "cos")
+    res
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** Synthetic corpus with controlled near-dups: base docs plus copies
+    * with a few words changed (deterministic). */
+  private lazy val corpus = {
+    // large vocab + well-mixed hash: random base docs share almost no
+    // shingles, so only the planted dups exceed jaccard 0.5
+    val words = Array.tabulate(200)(i => s"tok$i")
+    def docText(seed: Long, n: Int): String =
+      (0 until n).map(i =>
+        words(math.floorMod(Dedup.fnv1a64(s"$seed#$i"), words.length.toLong).toInt)).mkString(" ")
+    val bases = (0L until 40L).map(i => (i, docText(i, 60)))
+    // near-dups: id 1000+i is id i with the last 3 words replaced
+    val dups = (0L until 10L).map { i =>
+      (1000L + i, bases(i.toInt)._2.split(" ").dropRight(3).mkString(" ") + " zzz yyy xxx")
+    }
+    // exact dups of doc 0, plus one disjoint-vocabulary outlier
+    val exacts = Seq((2000L, bases(0)._2), (2001L, bases(0)._2))
+    val outlier = Seq((3000L,
+      (0 until 60).map(i => s"qq${i % 7}zz${i % 5}").mkString(" ")))
+    (bases ++ dups ++ exacts ++ outlier).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id per identical content") {
+    val res = Dedup.exact(corpus, col("doc_id"), col("text")).collect()
+    val byCopies = res.filter(_.getLong(1) > 1)
+    assert(byCopies.length === 1)
+    assert(byCopies.head.getLong(0) === 0L) // doc 0 kept, 2000/2001 folded
+    assert(byCopies.head.getLong(1) === 3L)
+  }
+
+  test("minhash+LSH with verification recovers exactly the true near-dup pairs") {
+    val sh = Dedup.shingleTable(corpus, col("doc_id"), col("text")).cache()
+    // exact truth at threshold 0.5
+    val shA = sh.select(col("doc_id").as("id_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val truth = shA.join(shB, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("j", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "synthetic corpus must contain true near-dup pairs")
+    val got = Dedup.minhashNearDups(corpus, col("doc_id"), col("text"), 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+  }
+
+  test("minhash signature similarity approximates jaccard") {
+    val sh = Dedup.shingleTable(corpus, col("doc_id"), col("text"))
+    val sigs = Dedup.minhashSignatures(sh, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val shLocal = sh.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 0 vs its exact copy: identical signatures
+    assert(sigs(0L) === sigs(2000L))
+    // doc 0 vs near-dup 1000: signature agreement within 25pp of true jaccard
+    val est = sigs(0L).zip(sigs(1000L)).count { case (a, b) => a == b } / 64.0
+    val truth = {
+      val (a, b) = (shLocal(0L), shLocal(1000L))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    assert(math.abs(est - truth) < 0.25, s"est=$est truth=$truth")
+  }
+
+  test("simhash: identical docs collide; near-dups are close; unrelated far") {
+    val sim = Dedup.simhashDf(corpus, col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sim(0L) === sim(2000L))
+    assert(Dedup.hamming(sim(0L), sim(1000L)) <= 16)
+    // disjoint-vocabulary outlier is far from everything
+    val far = Dedup.hamming(sim(0L), sim(3000L))
+    assert(far > Dedup.hamming(sim(0L), sim(1000L)))
+    assert(far > 16)
+  }
+
+  test("simhash banded candidates include all exact-dup pairs") {
+    val sim = Dedup.simhashDf(corpus, col("doc_id"), col("text"))
+    val cand = Dedup.simhashCandidates(sim, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 2000L)))
+    assert(cand.contains((0L, 2001L)))
+    assert(cand.contains((2000L, 2001L)))
+  }
+}
