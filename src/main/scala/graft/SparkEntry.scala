@@ -221,7 +221,7 @@ object SparkEntry {
     * MinHash/LSH path approximates). */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = tbl(s, dir, "documents")
-    val toks = d.select(col("doc_id"), CodeTokenizer.tokensCol(col("text")).as("tokens"))
+    val toks = d.select(col("doc_id"), CodeTokenizer.tokensColFast(col("text")).as("tokens"))
     // sequence(1, n) descends for n<1, so guard docs shorter than one shingle
     val shingles = when(size(col("tokens")) >= 3,
       transform(sequence(lit(1), size(col("tokens")) - 2),
@@ -313,7 +313,7 @@ object SparkEntry {
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
       size(regexp_extract_all(col("text"),
         lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("n_bpe"),
-      size(CodeTokenizer.tokensCol(col("text"))).cast("long").as("n_analyzed"))
+      size(CodeTokenizer.tokensColFast(col("text"))).cast("long").as("n_analyzed"))
       .orderBy("doc_id")
 
   /** Document fingerprint: md5 of whitespace-normalized lowercased text

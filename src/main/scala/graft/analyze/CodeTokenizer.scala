@@ -39,16 +39,19 @@ object CodeTokenizer {
   private val Acronym = "([A-Z]+)([A-Z][a-z])"
   private val NonWord = "[^a-z0-9]+"
 
+  // Precompiled (String.replaceAll/split would recompile per call —
+  // measurable at 10^5 docs/s/core, fatal at 10^12 docs).
+  private val CamelP   = java.util.regex.Pattern.compile(Camel)
+  private val AcronymP = java.util.regex.Pattern.compile(Acronym)
+  private val NonWordP = java.util.regex.Pattern.compile(NonWord)
+
   /** Pure-Scala tokenizer; canonical semantics. */
   def tokenize(s: String): Array[String] = {
     if (s == null || s.isEmpty) return Array.empty
-    val boundary = s
-      .replaceAll(Camel, "$1 $2")
-      .replaceAll(Acronym, "$1 $2")
+    val boundary = AcronymP.matcher(
+      CamelP.matcher(s).replaceAll("$1 $2")).replaceAll("$1 $2")
       .toLowerCase(java.util.Locale.ROOT)
-    boundary
-      .split(NonWord)
-      .filter(keep)
+    NonWordP.split(boundary).filter(keep)
   }
 
   @inline def keep(t: String): Boolean =
@@ -72,6 +75,22 @@ object CodeTokenizer {
         !t.rlike("^[0-9]+$") && !t.isin(Stopwords: _*))
   }
 
+  /** Hot-path Column form: a native Catalyst Expression invoking
+    * [[tokenize]] once per row — no per-token interpreted lambda, no
+    * per-call pattern compilation. Semantics identical to [[tokensCol]]
+    * (property-tested); this is what the engine build uses. */
+  def tokensColFast(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.toColumn(CodeTokenizeExpr(GraftColumnBridge.toExpression(c)))
+  }
+
+  /** struct(doclen, pairs: array&lt;struct&lt;term, tf&gt;&gt;) in one eval —
+    * see [[CodeTokenizeTfExpr]]. */
+  def tokenTfCol(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.toColumn(CodeTokenizeTfExpr(GraftColumnBridge.toExpression(c)))
+  }
+
   /** DuckDB SQL fragment producing the same token array from column
     * expression `col`. Kept mechanically in sync with [[tokenize]]. */
   def sqlTokenArray(col: String): String =
@@ -79,4 +98,70 @@ object CodeTokenizer {
       s"'([a-z0-9])([A-Z])', '\\1 \\2', 'g'), '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), " +
       s"'[^a-z0-9]+'), tk -> length(tk) BETWEEN $MinLen AND $MaxLen " +
       s"AND NOT regexp_full_match(tk, '[0-9]+') AND tk NOT IN (${Stopwords.map(w => s"'$w'").mkString(",")}))"
+}
+
+/** Native tokenizer expression (preference (b) in the custom-operator
+  * ladder): single eval call per row into the shared pure tokenizer.
+  * CodegenFallback — the row-level virtual call is already far cheaper
+  * than an interpreted per-element higher-order filter. */
+case class CodeTokenizeExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = CodeTokenizer.tokenize(v.toString)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): CodeTokenizeExpr = copy(c)
+}
+
+/** Tokenize + per-document term frequencies in ONE eval:
+  * struct(doclen, array(struct(term, tf))), pairs in ascending term
+  * order. Eliminates the corpus-wide (term, docId) hash aggregation —
+  * tf is a per-document quantity and never needs a shuffle. */
+case class CodeTokenizeTfExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("doclen", LongType, nullable = false),
+    StructField("pairs", ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = CodeTokenizer.tokenize(v.toString)
+    val counts = new java.util.TreeMap[String, Long]()
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val pairs = new Array[Any](counts.size)
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      pairs(j) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      j += 1
+    }
+    InternalRow(toks.length.toLong, new GenericArrayData(pairs))
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): CodeTokenizeTfExpr = copy(c)
 }

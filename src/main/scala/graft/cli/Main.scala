@@ -1,0 +1,122 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.CodeTokenizer
+import graft.config.EngineConfig
+import graft.index.{Postings, SegmentBuilder}
+import graft.metrics.Metrics
+import graft.query.Wand
+
+/** spark-submit entry point — the engine's operational surface
+  * (ingest | build | query | analyze), mirroring the reference's four
+  * IMigrationService operations (/root/reference/Interfaces/IMigrationService.cs:17-42)
+  * including the dry-run analyzer (§3.3) and layered configuration with
+  * environment overrides
+  * (/root/reference/Services/ConfigurationService.cs:63-134).
+  *
+  * {{{
+  * spark-submit --class graft.cli.Main graft.jar ingest  <docs.parquet> <indexDir>
+  * spark-submit --class graft.cli.Main graft.jar build   <indexDir>
+  * spark-submit --class graft.cli.Main graft.jar query   <indexDir> "<text>" [k]
+  * spark-submit --class graft.cli.Main graft.jar analyze <docs.parquet>
+  * }}}
+  */
+object Main {
+
+  /** Env-layered config (GRAFT_* overrides, like the reference's
+    * ELASTICSEARCH_URL-style overrides). */
+  def configFromEnv(env: Map[String, String] = sys.env): EngineConfig = {
+    val d = EngineConfig.default
+    def i(k: String, v: Int) = env.get(k).map(_.toInt).getOrElse(v)
+    def l(k: String, v: Long) = env.get(k).map(_.toLong).getOrElse(v)
+    EngineConfig(
+      k1 = env.get("GRAFT_K1").map(_.toDouble).getOrElse(d.k1),
+      b = env.get("GRAFT_B").map(_.toDouble).getOrElse(d.b),
+      topK = i("GRAFT_TOPK", d.topK),
+      blockSize = i("GRAFT_BLOCK_SIZE", d.blockSize),
+      shards = i("GRAFT_SHARDS", d.shards),
+      buildPartitions = i("GRAFT_BUILD_PARTITIONS", d.buildPartitions),
+      saltTargetPostings = l("GRAFT_SALT_TARGET", d.saltTargetPostings))
+  }
+
+  def session(app: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(app)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Dry-run analyzer (§3.3): sample, report token/skew stats and a
+    * go/no-go validity gate (>=50% of sampled docs analyzable —
+    * CSVService.cs:223's gate re-targeted at the corpus). */
+  def analyze(spark: SparkSession, docsPath: String, sampleN: Int = 1000): DataFrame = {
+    val sample = spark.read.parquet(docsPath)
+      .orderBy("doc_id").limit(sampleN)
+      .select(col("doc_id"), CodeTokenizer.tokensColFast(col("text")).as("tokens"))
+      .cache()
+    val total = spark.read.parquet(docsPath).count()
+    val stats = sample.agg(
+      count(lit(1)).as("sampled"),
+      count(when(size(col("tokens")) > 0, 1)).as("analyzable"),
+      avg(size(col("tokens"))).as("avgdl"),
+      sum(size(col("tokens"))).as("sample_postings")).head()
+    val hot = sample.select(explode(col("tokens")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc).limit(5).collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
+    val sampled = stats.getLong(0)
+    val analyzable = stats.getLong(1)
+    val validPct = 100.0 * analyzable / math.max(1, sampled)
+    val projected = (stats.getLong(3).toDouble / math.max(1, sampled) * total).toLong
+    import spark.implicits._
+    Seq((total, sampled, analyzable, validPct, stats.getDouble(2), projected,
+      hot, validPct >= 50.0))
+      .toDF("total_docs", "sampled", "analyzable", "valid_pct", "avgdl",
+        "projected_postings", "hot_terms", "go")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = configFromEnv()
+    args.toList match {
+      case "ingest" :: docs :: indexDir :: Nil =>
+        val spark = session("graft-ingest")
+        val m = Metrics.attach(spark)
+        val t0 = System.nanoTime()
+        SegmentBuilder.ingest(spark, spark.read.parquet(docs),
+          col("doc_id"), col("text"), indexDir, cfg)
+        println(s"""{"op":"ingest","secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
+        spark.stop()
+      case "build" :: indexDir :: Nil =>
+        val spark = session("graft-build")
+        val m = Metrics.attach(spark)
+        val t0 = System.nanoTime()
+        val built = SegmentBuilder.buildAll(spark, indexDir, cfg)
+        println(s"""{"op":"build","shardsBuilt":${built.size},""" +
+          s""""postings":${built.map(_.postings).sum},"bytes":${built.map(_.bytes).sum},""" +
+          s""""secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
+        spark.stop()
+      case "query" :: indexDir :: text :: rest =>
+        val spark = session("graft-query")
+        val k = rest.headOption.map(_.toInt).getOrElse(cfg.topK)
+        Wand.topK(spark, indexDir, Seq(1 -> text), cfg.copy(topK = k)).show(k, false)
+        spark.stop()
+      case "analyze" :: docs :: Nil =>
+        val spark = session("graft-analyze")
+        analyze(spark, docs).show(false)
+        spark.stop()
+      case other =>
+        System.err.println(
+          s"unknown command: ${other.mkString(" ")}\n" +
+            "usage: ingest <docs.parquet> <indexDir> | build <indexDir> | " +
+            "query <indexDir> <text> [k] | analyze <docs.parquet>")
+        sys.exit(2)
+    }
+  }
+}

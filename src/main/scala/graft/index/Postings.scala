@@ -25,19 +25,24 @@ object Postings {
     * invariant, /root/reference/Services/PostgreSQLService.cs:114). */
   def tokenized(docs: DataFrame, idCol: Column, contentCol: Column): DataFrame =
     docs.select(idCol.cast("long").as("doc_id"),
-      CodeTokenizer.tokensCol(contentCol).as("tokens"))
+      CodeTokenizer.tokensColFast(contentCol).as("tokens"))
       .withColumn("doclen", size(col("tokens")).cast("long"))
 
   /** (doc_id, doclen) per document (post-analysis token count). */
   def doclens(docs: DataFrame, idCol: Column, contentCol: Column): DataFrame =
     tokenized(docs, idCol, contentCol).select("doc_id", "doclen")
 
-  /** Postings (term, doc_id, tf, doclen). One shuffle (hash agg). */
+  /** Postings (term, doc_id, tf, doclen). ZERO shuffles: tf is computed
+    * per document inside the tokenizer expression (a corpus-wide
+    * (term, docId) hash aggregation would shuffle every token for a
+    * per-document quantity). */
   def build(docs: DataFrame, idCol: Column, contentCol: Column): DataFrame =
-    tokenized(docs, idCol, contentCol)
-      .select(col("doc_id"), col("doclen"), explode(col("tokens")).as("term"))
-      .groupBy("term", "doc_id", "doclen")
-      .agg(count(lit(1)).as("tf"))
+    docs.select(idCol.cast("long").as("doc_id"),
+        CodeTokenizer.tokenTfCol(contentCol).as("t"))
+      .select(col("doc_id"), col("t.doclen").as("doclen"),
+        explode(col("t.pairs")).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"), col("doclen"),
+        col("p.tf").as("tf"))
 
   /** Document frequency per term: (term, df). */
   def docFreq(postings: DataFrame): DataFrame =

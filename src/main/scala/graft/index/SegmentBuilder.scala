@@ -68,25 +68,46 @@ object SegmentBuilder {
     * postings. */
   def ingest(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
              indexDir: String, cfg: EngineConfig = EngineConfig.default): Unit = {
-    val toks = Postings.tokenized(docs, idCol, contentCol).cache()
-    try {
-      // identity + per-row invariant surface (sha256(content) equality
-      // vs the source table — BASELINE.json input_hint)
-      docs.select(idCol.cast("long").as("doc_id"),
-          sha2(contentCol.cast("string"), 256).as("sha"))
-        .join(toks.select(col("doc_id"), col("doclen")), "doc_id")
+    // Defensive partitioning: tokenization is the dominant compute and
+    // must never be bottlenecked by a coarse input layout (e.g. one fat
+    // parquet file => one task). Cheap relative to the analyze/explode
+    // work it unlocks; a no-op when the source is already wide enough.
+    val spread =
+      if (docs.rdd.getNumPartitions >= cfg.buildPartitions) docs
+      else docs.repartition(cfg.buildPartitions)
+
+    // Two independent passes, submitted concurrently (they share the
+    // executors; concurrency removes the serial job-submission gap).
+    // Tokenizing twice is deliberately cheaper than caching exploded
+    // token arrays: the columnar cache build + deserialization costs
+    // far more CPU than the analyzer itself.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+
+    // Pass 1 — docmap: identity + per-row invariant surface
+    // (sha256(content) equality vs the source — BASELINE.json
+    // input_hint) plus doclen, one narrow projection; then corpus stats
+    // from the (tiny, columnar) docmap.
+    val pass1 = Future {
+      spread.select(idCol.cast("long").as("doc_id"),
+          sha2(contentCol.cast("string"), 256).as("sha"),
+          size(graft.analyze.CodeTokenizer.tokensColFast(contentCol)).cast("long").as("doclen"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docmap")
-
-      toks.agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl"))
+      spark.read.parquet(s"$indexDir/docmap")
+        .agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
-
-      toks.select(col("doc_id"), col("doclen"), explode(col("tokens")).as("term"))
-        .groupBy("term", "doc_id", "doclen")
-        .agg(count(lit(1)).as("tf"))
+    }
+    // Pass 2 — postings (shuffle-free: per-doc tf inside the tokenizer
+    // expression), hash-partitioned by term shard for stage-1 pruning.
+    val pass2 = Future {
+      Postings.build(spread, idCol, contentCol)
         .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
         .write.mode(SaveMode.Overwrite).partitionBy("shard")
         .parquet(s"$indexDir/postings")
-    } finally toks.unpersist()
+    }
+    Await.result(Future.sequence(Seq(pass1, pass2)), Duration.Inf)
+    ()
   }
 
   def readStats(spark: SparkSession, indexDir: String): (Long, Double) = {
@@ -125,6 +146,7 @@ object SegmentBuilder {
 
     val postingsAcc = spark.sparkContext.longAccumulator(s"postings_$shard")
     val bytesAcc = spark.sparkContext.longAccumulator(s"bytes_$shard")
+    val segRowsAcc = spark.sparkContext.longAccumulator(s"segrows_$shard")
 
     val segments = salted
       .repartition(cfg.buildPartitions, col("term"), col("salt"))
@@ -132,12 +154,11 @@ object SegmentBuilder {
       .as[PostingRec]
       .mapPartitions { it =>
         encodeRuns(it, cfg.blockSize, BlocksPerRow, cfg.k1, cfg.b, avgdl,
-          postingsAcc, bytesAcc)
+          postingsAcc, bytesAcc, segRowsAcc)
       }
 
     segments.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/segments/shard=$shard")
-    val segRows = spark.read.parquet(s"$indexDir/segments/shard=$shard").count()
-    ShardManifest(shard, "done", postingsAcc.value, segRows, bytesAcc.value,
+    ShardManifest(shard, "done", postingsAcc.value, segRowsAcc.value, bytesAcc.value,
       (System.nanoTime() - t0) / 1e9, lineage(spark, indexDir, cfg))
   }
 
@@ -146,7 +167,8 @@ object SegmentBuilder {
   def encodeRuns(rows: Iterator[PostingRec], blockSize: Int, blocksPerRow: Int,
                  k1: Double, b: Double, avgdl: Double,
                  postingsAcc: LongAccumulator = null,
-                 bytesAcc: LongAccumulator = null): Iterator[SegmentRow] = {
+                 bytesAcc: LongAccumulator = null,
+                 segRowsAcc: LongAccumulator = null): Iterator[SegmentRow] = {
     val it = rows.buffered
     val runs = new Iterator[Iterator[SegmentRow]] {
       def hasNext: Boolean = it.hasNext
@@ -168,6 +190,7 @@ object SegmentBuilder {
               bl.deltas.length + bl.tfs.length + bl.dls.length).sum.toLong
             if (postingsAcc != null) postingsAcc.add(n)
             if (bytesAcc != null) bytesAcc.add(bytes)
+            if (segRowsAcc != null) segRowsAcc.add(1)
             SegmentRow(term, salt, seq, n,
               blocks.head.firstDoc, lastDoc(blocks.last), blocks.map(_.maxU).max,
               blocks.map(bl => BlockRow(bl.firstDoc, bl.n, bl.deltas, bl.tfs, bl.dls, bl.maxU)))
@@ -220,17 +243,32 @@ object SegmentBuilder {
 
   /** Driver loop: build every shard not already checkpointed with a
     * matching lineage. Returns the manifests of the shards built NOW
-    * (resume evidence: an up-to-date index returns Nil). */
+    * (resume evidence: an up-to-date index returns Nil).
+    *
+    * `concurrency` > 1 submits shard jobs concurrently (Spark schedules
+    * them FIFO across the same executors) — checkpoint granularity is
+    * unchanged since each shard still commits its own manifest the
+    * moment it finishes; it only removes the serial job-submission gaps
+    * that otherwise cap scaling. */
   def buildAll(spark: SparkSession, indexDir: String,
-               cfg: EngineConfig = EngineConfig.default): Seq[ShardManifest] = {
+               cfg: EngineConfig = EngineConfig.default,
+               concurrency: Int = 1): Seq[ShardManifest] = {
     val lin = lineage(spark, indexDir, cfg)
-    (0 until cfg.shards).flatMap { shard =>
-      if (manifestDone(indexDir, shard, lin)) None
-      else {
-        val m = buildShard(spark, indexDir, shard, cfg)
-        writeManifest(indexDir, m)
-        Some(m)
-      }
+    val todo = (0 until cfg.shards).filterNot(manifestDone(indexDir, _, lin))
+    def runOne(shard: Int): ShardManifest = {
+      val m = buildShard(spark, indexDir, shard, cfg)
+      writeManifest(indexDir, m)
+      m
+    }
+    if (concurrency <= 1 || todo.size <= 1) todo.map(runOne)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(concurrency, todo.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(todo.map(s => Future(runOne(s)))), Duration.Inf)
+      finally pool.shutdown()
     }
   }
 }

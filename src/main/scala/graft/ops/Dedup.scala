@@ -27,7 +27,7 @@ object Dedup {
   /** (doc_id, shingle) distinct. */
   def shingleTable(docs: DataFrame, idCol: Column, contentCol: Column): DataFrame =
     docs.select(idCol.cast("long").as("doc_id"),
-        explode(shinglesCol(CodeTokenizer.tokensCol(contentCol))).as("shingle"))
+        explode(shinglesCol(CodeTokenizer.tokensColFast(contentCol))).as("shingle"))
       .distinct()
 
   /** Exact dedup: keep the lowest id per content hash. */
@@ -66,20 +66,25 @@ object Dedup {
                       bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sh = shingleTable(docs, idCol, contentCol).cache()
-    val cand = lshCandidates(minhashSignatures(sh, numHashes), bands, rowsPerBand)
-    val shA = sh.select(col("doc_id").as("id_a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("id_b"), col("shingle"))
-    val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val sh = shingleTable(docs, idCol, contentCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = lshCandidates(minhashSignatures(sh, numHashes), bands, rowsPerBand)
+      val shA = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      val shB = sh.select(col("doc_id").as("id_b"), col("shingle"))
+      val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val out = inter
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+      // materialize before releasing the shingle cache
+      out.localCheckpoint(eager = true)
+    } finally sh.unpersist()
   }
 
   // --- SimHash ---------------------------------------------------------------
@@ -122,7 +127,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(idCol.cast("long").as("doc_id"),
-        CodeTokenizer.tokensCol(contentCol).as("tokens"))
+        CodeTokenizer.tokensColFast(contentCol).as("tokens"))
       .as[(Long, Seq[String])]
       .map { case (id, toks) => (id, simhash64(toks)) }
       .toDF("doc_id", "simhash")

@@ -1,0 +1,166 @@
+package graft.accesslog
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** FIXTURES.md §3: one row per reference semantics rule, asserted
+  * against the declarative pipeline. */
+class AccessLogSpec extends SparkSuite {
+
+  private val header =
+    "_id,_index,_score,accessLog,areaName,eventId,eventName,gateName,gksType,image,ip," +
+      "isAccreditation,nationalityId,passageDuration,port,readerName,result,serialNumber," +
+      "stadiumId,timestamp,transactionId,transactionTime"
+
+  // helper: row with defaults, overridable by position name
+  private def row(overrides: (String, String)*): String = {
+    val base = scala.collection.mutable.LinkedHashMap(
+      "_id" -> "id1", "_index" -> "logs", "_score" -> "1.50", "accessLog" -> "true",
+      "areaName" -> "North", "eventId" -> "7", "eventName" -> "Match", "gateName" -> "G1",
+      "gksType" -> "TELPO", "image" -> "cam1.jpg", "ip" -> "10.0.0.1",
+      "isAccreditation" -> "0", "nationalityId" -> "10000000146", "passageDuration" -> "12.50",
+      "port" -> "6666", "readerName" -> "R1", "result" -> "PASSED", "serialNumber" -> "SN1",
+      "stadiumId" -> "3", "timestamp" -> "2024-05-01T10:00:00", "transactionId" -> "900",
+      "transactionTime" -> "2024-05-01T10:00:30")
+    overrides.foreach { case (k, v) => base(k) = v }
+    base.values.mkString(",")
+  }
+
+  private def parse(rows: String*): org.apache.spark.sql.DataFrame = {
+    val f = Files.createTempFile("accesslog_", ".csv")
+    Files.writeString(f, (header +: rows).mkString("\n"))
+    AccessLog.readCsv(spark, f.toString)
+  }
+
+  test("happy path: all 22 columns mapped and coerced") {
+    val df = parse(row()).cache()
+    val r = df.head()
+    assert(r.getAs[String]("elasticsearch_id") === "id1")
+    assert(r.getAs[java.math.BigDecimal]("elasticsearch_score").doubleValue() === 1.5)
+    assert(r.getAs[Boolean]("access_log_flag") === true)
+    assert(r.getAs[Boolean]("is_accreditation") === false)
+    assert(r.getAs[Int]("event_id") === 7)
+    assert(r.getAs[Timestamp]("timestamp").toString.startsWith("2024-05-01 10:00:00"))
+    val v = AccessLog.validate(df).head()
+    assert(v.getAs[scala.collection.Seq[String]]("errors").isEmpty)
+    assert(v.getAs[Boolean]("is_valid"))
+  }
+
+  test("null normalization: empty and literal null (any case)") {
+    val r = parse(row("areaName" -> "", "eventName" -> "null", "gateName" -> "NULL")).head()
+    assert(r.getAs[String]("area_name") === null)
+    assert(r.getAs[String]("event_name") === null)
+    assert(r.getAs[String]("gate_name") === null)
+  }
+
+  test("boolean coercion: 1/0/true/false; junk -> default false") {
+    val rs = parse(
+      row("_id" -> "a", "accessLog" -> "1", "isAccreditation" -> "false"),
+      row("_id" -> "b", "accessLog" -> "junk", "isAccreditation" -> "TRUE"))
+      .orderBy("elasticsearch_id").collect()
+    assert(rs(0).getAs[Boolean]("access_log_flag") === true)
+    assert(rs(0).getAs[Boolean]("is_accreditation") === false)
+    assert(rs(1).getAs[Boolean]("access_log_flag") === false) // lenient default
+    assert(rs(1).getAs[Boolean]("is_accreditation") === true)
+  }
+
+  test("timestamp formats: ISO, space-separated, epoch seconds, epoch millis heuristic") {
+    val rs = parse(
+      row("_id" -> "a", "timestamp" -> "2024-05-01T10:00:00"),
+      row("_id" -> "b", "timestamp" -> "2024-05-01 10:00:00"),
+      row("_id" -> "c", "timestamp" -> "1714557600"),          // seconds
+      row("_id" -> "d", "timestamp" -> "1714557600000"),       // millis (>1e12)
+      row("_id" -> "e", "timestamp" -> "not-a-date"))
+      .orderBy("elasticsearch_id").collect()
+    val ts = rs.map(_.getAs[Timestamp]("timestamp"))
+    assert(ts(0) !== null); assert(ts(1) !== null)
+    assert(ts(2) === ts(3), "seconds and millis forms must agree")
+    assert(ts(4) === null, "unparseable -> null, row kept")
+  }
+
+  test("unparseable int/decimal -> null, row kept; missing _id -> row dropped") {
+    val df = parse(
+      row("_id" -> "a", "eventId" -> "abc", "passageDuration" -> "x.y"),
+      row("_id" -> "", "eventId" -> "1"),
+      row("_id" -> "null", "eventId" -> "2"))
+    assert(df.count() === 1)
+    val r = df.head()
+    assert(r.getAs[Integer]("event_id") === null)
+    assert(r.getAs[java.math.BigDecimal]("passage_duration") === null)
+  }
+
+  test("quoted field with embedded comma and escaped quotes") {
+    val r = parse(row("areaName" -> "\"North, \"\"Upper\"\" Stand\"")).head()
+    assert(r.getAs[String]("area_name") === "North, \"Upper\" Stand")
+  }
+
+  test("hard constraints: enum, range, format, checksum rejects") {
+    val bad = AccessLog.validate(parse(row(
+      "result" -> "INVALID_RESULT", "ip" -> "999.999.999.999",
+      "passageDuration" -> "-5", "port" -> "99999",
+      "eventName" -> ("x" * 600), "image" -> "cam1.exe",
+      "nationalityId" -> "12345678901", "gksType" -> "NOKIA"))).head()
+    val errs = bad.getAs[scala.collection.Seq[String]]("errors").toSet
+    assert(errs === Set("result_enum", "ip_format", "passage_duration_range",
+      "port_range", "event_name_len", "image_ext", "nationality_id_checksum",
+      "gks_type_enum"))
+    assert(!bad.getAs[Boolean]("is_valid"))
+  }
+
+  test("Turkish ID checksum: valid vs invalid") {
+    val rs = AccessLog.validate(parse(
+      row("_id" -> "a", "nationalityId" -> "10000000146"),  // valid checksum
+      row("_id" -> "b", "nationalityId" -> "10000000147"))) // broken check digit
+      .orderBy("elasticsearch_id").collect()
+    assert(!rs(0).getAs[scala.collection.Seq[String]]("errors").contains("nationality_id_checksum"))
+    assert(rs(1).getAs[scala.collection.Seq[String]]("errors").contains("nationality_id_checksum"))
+  }
+
+  test("soft warnings: long passage, time drift, unusual port, nulls") {
+    val w = AccessLog.validate(parse(row(
+      "passageDuration" -> "301", "port" -> "80",
+      "transactionTime" -> "2024-05-01T12:00:00", // 2h after timestamp
+      "eventName" -> ""))).head()
+    val warns = w.getAs[scala.collection.Seq[String]]("warnings").toSet
+    assert(warns === Set("long_passage", "unusual_port", "time_drift_gt_60m",
+      "null_event_name"))
+    assert(w.getAs[Boolean]("is_valid"), "warnings never invalidate")
+  }
+
+  test("batch stats: counts, ratios, top messages") {
+    val stats = AccessLog.batchStats(AccessLog.validate(parse(
+      row("_id" -> "a"),
+      row("_id" -> "b", "result" -> "BAD"),
+      row("_id" -> "c", "port" -> "80")))).head()
+    assert(stats.getAs[Long]("total") === 3)
+    assert(stats.getAs[Long]("valid") === 2)
+    assert(stats.getAs[Long]("invalid") === 1)
+    assert(stats.getAs[Long]("with_warnings") === 1)
+    assert(math.abs(stats.getAs[Double]("valid_pct") - 200.0 / 3) < 1e-9)
+    val top = stats.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top_messages")
+    assert(top.map(_.getString(0)).contains("result_enum"))
+  }
+
+  test("dedup by elasticsearch_id keeps the newest row") {
+    val df = parse(
+      row("_id" -> "dup", "eventId" -> "1", "timestamp" -> "2024-05-01T10:00:00"),
+      row("_id" -> "dup", "eventId" -> "2", "timestamp" -> "2024-05-02T10:00:00"),
+      row("_id" -> "solo", "eventId" -> "3"))
+    val out = AccessLog.dedupLatest(df, col("timestamp")).orderBy("elasticsearch_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Int]("event_id") === 2)
+  }
+
+  test("unknown columns tolerated; required headers checked externally") {
+    val f = Files.createTempFile("accesslog_extra_", ".csv")
+    Files.writeString(f,
+      "_id,accessLog,eventId,timestamp,mysteryColumn\nx,true,5,2024-01-01T00:00:00,whatever")
+    val df = AccessLog.readCsv(spark, f.toString)
+    assert(df.count() === 1)
+    assert(df.head().getAs[Int]("event_id") === 5)
+    assert(!df.columns.contains("mysteryColumn"))
+  }
+}

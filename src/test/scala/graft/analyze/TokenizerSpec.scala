@@ -65,6 +65,27 @@ class TokenizerSpec extends SparkSuite {
     }
   }
 
+  test("fast native Expression is identical to pure-Scala and Column forms") {
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.oneOf("parseCSVLine", "the", "BM25Score", "x 42 sha256", "Ünïcödé")))
+      .map(_.mkString(" "))
+    val inputs = samples(gen, 200) :+ "" :+ "theThe aA"
+    val df = inputs.toDF("s").select(col("s"),
+      CodeTokenizer.tokensColFast(col("s")).as("fast"),
+      CodeTokenizer.tokensCol(col("s")).as("slow"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) === CodeTokenizer.tokenize(r.getString(0)).toSeq)
+      assert(r.getSeq[String](1) === r.getSeq[String](2))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"), CodeTokenizer.tokensColFast(col("text")).as("fast"))
+    docs.collect().foreach { r =>
+      assert(r.getSeq[String](1) === CodeTokenizer.tokenize(r.getString(0)).toSeq)
+    }
+  }
+
   test("query analysis: camelCase query equals multi-term query") {
     assert(CodeTokenizer.queryTerms("sparkFastQuery") ===
       CodeTokenizer.queryTerms("spark fast query"))
