@@ -221,14 +221,7 @@ object SparkEntry {
     * MinHash/LSH path approximates). */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = tbl(s, dir, "documents")
-    val toks = d.select(col("doc_id"), CodeTokenizer.tokensColFast(col("text")).as("tokens"))
-    // sequence(1, n) descends for n<1, so guard docs shorter than one shingle
-    val shingles = when(size(col("tokens")) >= 3,
-      transform(sequence(lit(1), size(col("tokens")) - 2),
-        i => concat_ws(" ", element_at(col("tokens"), i),
-          element_at(col("tokens"), i + 1), element_at(col("tokens"), i + 2)))
-    ).otherwise(array().cast("array<string>"))
-    val sh = toks.select(col("doc_id"), explode(shingles).as("shingle")).distinct()
+    val sh = Dedup.shingleTable(d, col("doc_id"), col("text"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") &&

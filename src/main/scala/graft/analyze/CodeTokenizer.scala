@@ -165,3 +165,38 @@ case class CodeTokenizeTfExpr(child: org.apache.spark.sql.catalyst.expressions.E
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): CodeTokenizeTfExpr = copy(c)
 }
+
+/** Word n-gram shingles over an array<string> column — native sliding
+  * window (the equivalent transform/sequence/element_at higher-order
+  * expression is interpreted per element and ~100x slower). */
+case class ShinglesExpr(child: org.apache.spark.sql.catalyst.expressions.Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i + n <= len) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): ShinglesExpr = copy(child = c)
+}

@@ -95,6 +95,8 @@ object Similarity {
     val res = cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("rank", "vec_id", "label", "cos")
+      .localCheckpoint(eager = true)
+    b.unpersist()
     res
   }
 }

@@ -28,6 +28,20 @@ class DedupSpec extends SparkSuite {
     (bases ++ dups ++ exacts ++ outlier).toDF("doc_id", "text")
   }
 
+  test("native shingles expression equals the higher-order-function form") {
+    val toks = corpus.select(col("doc_id"),
+      graft.analyze.CodeTokenizer.tokensColFast(col("text")).as("tokens"))
+    val hof = when(size(col("tokens")) >= 3,
+      transform(sequence(lit(1), size(col("tokens")) - 2),
+        i => concat_ws(" ", element_at(col("tokens"), i),
+          element_at(col("tokens"), i + 1), element_at(col("tokens"), i + 2)))
+    ).otherwise(array().cast("array<string>"))
+    toks.select(Dedup.shinglesCol(col("tokens")).as("fast"), hof.as("slow"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1))
+      }
+  }
+
   test("exact dedup keeps lowest id per identical content") {
     val res = Dedup.exact(corpus, col("doc_id"), col("text")).collect()
     val byCopies = res.filter(_.getLong(1) > 1)
