@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.index.Postings
+
+/** Mutable session accumulator (top-level: Spark state encoders cannot
+  * codegen private nested classes). */
+final case class SessionState(n: Long, start: Long, last: Long)
+
+/** Structured Streaming extensions. The reference is strictly batch
+  * (SURVEY.md §2.9) — these are the incremental-ingest counterparts a
+  * Spark-native engine adds: watermarked windowed aggregation, stateful
+  * sessionization, and micro-batch inverted-index ingest.
+  */
+object StreamOps {
+
+  /** Watermarked sliding-window event counts (works on a streaming or
+    * batch events frame: ts, event_type, value). */
+  def windowedEventCounts(events: DataFrame,
+                          watermark: String = "10 minutes",
+                          windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class Session(user_id: Long, n_events: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, closed_reason: String)
+  /** Gap-based sessionization with flatMapGroupsWithState: a session
+    * closes when a later event proves a gap of more than `gapMs`
+    * inactivity (with ProcessingTimeTimeout, idle sessions also close on
+    * wall-clock timeout; NoTimeout keeps micro-batch tests synchronous —
+    * processAllAvailable never waits on timer-driven batches). */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val usesTimeout = timeout != GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (user: Long, evs: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.n, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), "timeout"))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += Session(user, s.n, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), "gap")
+                  cur = Some(SessionState(1, t, t))
+                case Some(s) =>
+                  cur = Some(SessionState(s.n + 1, s.start, math.max(s.last, t)))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (usesTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.iterator
+          }
+        })
+  }
+
+  /** Micro-batch incremental index ingest: append each micro-batch's
+    * postings (shard-partitioned, same layout as SegmentBuilder stage 0)
+    * — the streaming counterpart of the reference's batched inserts
+    * (/root/reference/Services/MigrationService.cs:454-492). Segment
+    * rebuild per shard is then an incremental buildAll over the touched
+    * shards. */
+  def indexIngestStream(docsStream: DataFrame, idCol: Column, contentCol: Column,
+                        indexDir: String, shards: Int,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Postings.build(batch, idCol, contentCol)
+          .withColumn("shard", pmod(xxhash64(col("term")), lit(shards)).cast("int"))
+          .write.mode(SaveMode.Append).partitionBy("shard")
+          .parquet(s"$indexDir/postings")
+      }
+      .start()
+}
