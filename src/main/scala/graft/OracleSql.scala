@@ -98,28 +98,59 @@ object OracleSql {
   private val ftDf =
     s"$postCte SELECT term, count(*) AS df FROM post GROUP BY 1 ORDER BY df DESC, term"
 
-  private def ftBm25: String = {
+  private def ftBm25(conjunctive: Boolean = false): String = {
     val pairs = SparkEntry.FtQuerySet.flatMap { case (qid, text) =>
-      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+      val ts = CodeTokenizer.queryTerms(text)
+      ts.map(t => s"($qid, '$t', ${ts.size})")
     }
+    val having = if (conjunctive) " HAVING count(*) = max(n_terms)" else ""
     val (k1, b) = (cfg.k1, cfg.b)
     s"""$postCte,
        |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
        |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |q(qid, term, n_terms) AS (VALUES ${pairs.mkString(", ")}),
        |wts AS (
-       |  SELECT q.qid, p.term, p.doc_id,
+       |  SELECT q.qid, p.term, p.doc_id, q.n_terms,
        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ($k1 + 1.0)) /
        |      (p.tf + $k1 * ((1.0 - $b) + ($b * p.doclen) / s.avgdl)) AS w
        |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
        |  CROSS JOIN stats s),
-       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score
+       |       FROM wts GROUP BY 1, 2$having),
        |rk AS (SELECT qid, doc_id, score,
        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
        |       FROM sc)
        |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
        |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
   }
+
+  private val qTsCoercion =
+    """WITH s AS (SELECT event_id,
+      |  CASE event_id % 4
+      |    WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+      |    WHEN 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+      |    WHEN 2 THEN CAST(epoch(date_trunc('second', ts))::BIGINT AS VARCHAR)
+      |    ELSE 'not-a-date' END AS s
+      |  FROM events)
+      |SELECT event_id, s,
+      |  strftime(COALESCE(
+      |    try_strptime(s, '%Y-%m-%dT%H:%M:%S'),
+      |    try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+      |    CASE WHEN try_cast(s AS BIGINT) IS NOT NULL
+      |         THEN epoch_ms(try_cast(s AS BIGINT) * 1000) END
+      |  ), '%Y-%m-%d %H:%M:%S') AS parsed
+      |FROM s ORDER BY event_id""".stripMargin
+
+  private val q3Topk =
+    """SELECT l_orderkey, printf('%.4f', rev) AS revenue, n_lines FROM (
+      |  SELECT l_orderkey,
+      |    sum(l_extendedprice * (1.0 - l_discount)) AS rev,
+      |    count(*) AS n_lines
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |  GROUP BY 1 ORDER BY rev DESC, l_orderkey LIMIT 10)
+      |ORDER BY rev DESC, l_orderkey""".stripMargin
 
   private val ingDocmap =
     s"""WITH $toksCte
@@ -235,9 +266,12 @@ object OracleSql {
     "ft_doclen"           -> ftDoclen,
     "ft_stats"            -> ftStats,
     "ft_df"               -> ftDf,
-    "ft_bm25_topk"        -> ftBm25,
-    "ft_wand_topk"        -> ftBm25, // WAND must be rank-identical to the declarative path
+    "ft_bm25_topk"        -> ftBm25(),
+    "ft_bm25_conj"        -> ftBm25(conjunctive = true),
+    "ft_wand_topk"        -> ftBm25(), // WAND must be rank-identical to the declarative path
     "ing_docmap"          -> ingDocmap,
+    "q_ts_coercion"       -> qTsCoercion,
+    "q3_topk"             -> q3Topk,
     "dd_exact"            -> ddExact,
     "dd_ngram_jaccard"    -> ddJaccard(0.06),
     "dd_minhash_lsh"      -> ddJaccard(0.5),

@@ -164,6 +164,14 @@ object SparkEntry {
       .select(col("qid"), col("rank"), col("doc_id"),
         format_string("%.4f", col("score")).as("score"))
 
+  /** Conjunctive (ES bool/must) BM25: docs must match every analyzed
+    * term; oracle enforces the same with HAVING count = n_terms. */
+  private def qFtBm25Conj(s: SparkSession, dir: String): DataFrame =
+    BM25.topK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      FtQuerySet, conjunctive = true)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
   /** Index build config for the verify/bench corpus: enough shards to
     * exercise checkpointing, low-enough salt target that sf0.1 hot terms
     * actually split into multiple runs. */
@@ -254,6 +262,54 @@ object SparkEntry {
       .select(col("rank"), col("vec_id"), col("label"),
         format_string("%.4f", col("cos")).as("cos"))
       .orderBy("rank")
+
+  /** IVF-flat ANN over coarse centroid lists (approximate; recall
+    * asserted in SimilaritySpec — no SQL oracle). */
+  private def qIvfTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(tbl(s, dir, "embeddings"), 0L, 10)
+      .select(col("rank"), col("vec_id"), col("label"),
+        format_string("%.4f", col("cos")).as("cos"))
+      .orderBy("rank")
+
+  /** P3 centerpiece: the multi-format timestamp coercion battery (ISO,
+    * space-separated, epoch-seconds, garbage) — strings synthesized
+    * deterministically from events.ts, coerced back leniently. */
+  private def qTsCoercion(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    val m = pmod(col("event_id"), lit(4))
+    val str = when(m === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+      .when(m === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .when(m === 2, unix_timestamp(col("ts")).cast("string"))
+      .otherwise(lit("not-a-date"))
+    val withS = e.select(col("event_id"), str.as("s"))
+    val epoch = expr("try_cast(s as bigint)")
+    val parsed = coalesce(
+      try_to_timestamp(col("s"), lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(col("s"), lit("yyyy-MM-dd HH:mm:ss")),
+      when(epoch.isNotNull,
+        when(epoch > 1000000000000L, timestamp_millis(epoch))
+          .otherwise(timestamp_seconds(epoch))))
+    withS.select(col("event_id"), col("s"),
+      date_format(parsed, "yyyy-MM-dd HH:mm:ss").as("parsed"))
+      .orderBy("event_id")
+  }
+
+  /** Broadcast-join analytics (TPC-H Q3 shape): top revenue orders for
+    * one segment — dimension broadcast, fact-side aggregation. */
+  private def qQ3Topk(s: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = tbl(s, dir, "orders")
+    val li = tbl(s, dir, "lineitem")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), format_string("%.4f", col("rev")).as("revenue"),
+        col("n_lines"))
+  }
 
   /** MinHash+LSH near-dup detection with exact verification on the
     * candidate set — oracle is the exact-Jaccard SQL at the same
@@ -359,8 +415,12 @@ object SparkEntry {
     "ft_stats"            -> (qFtStats _),
     "ft_df"               -> (qFtDf _),
     "ft_bm25_topk"        -> (qFtBm25 _),
+    "ft_bm25_conj"        -> (qFtBm25Conj _),
     "ft_wand_topk"        -> (qFtWand _),
     "ing_docmap"          -> (qIngDocmap _),
+    "q_ts_coercion"       -> (qTsCoercion _),
+    "q3_topk"             -> (qQ3Topk _),
+    "sim_ivf_topk"        -> (qIvfTopk _),
     "dd_exact"            -> (qDedupExact _),
     "dd_ngram_jaccard"    -> (qNgramJaccard _),
     "dd_minhash_lsh"      -> (qMinhashLsh _),

@@ -76,6 +76,49 @@ object Similarity {
       .toDF("vec_id", "label", "v", "bucket")
   }
 
+  // --- IVF (inverted-file) ANN ---------------------------------------------------
+
+  /** IVF-flat: assign every vector to its nearest of `nlist` coarse
+    * centroids, probe the `nprobe` centroids nearest the query, rank
+    * candidates by exact cosine. Centroids here are a deterministic
+    * sample of the corpus (vec_id ascending) — at production scale the
+    * sample would be k-means-refined, which changes recall, not the
+    * Spark plumbing: one narrow assignment map, a groupBy-free
+    * bucket filter, exact verification on candidates.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    // deterministic coarse centroids: the nlist lowest vec_ids
+    val centroids: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](2).toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assigned = e.as[(Long, Int, Array[Double])].map { case (id, label, v) =>
+      val list = centroids.maxBy(c => cos(c._2, v))._1
+      (id, label, v, list)
+    }.toDF("vec_id", "label", "v", "list").cache()
+    val qv = assigned.filter(col("vec_id") === queryId).head().getSeq[Double](2).toArray
+    val probeLists = centroids.sortBy(c => -cos(c._2, qv)).take(nprobe).map(_._1).toSeq
+    val qvCol = array(qv.map(lit): _*)
+    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    val res = assigned.filter(col("list").isin(probeLists: _*))
+      .withColumn("cos", cosineCol(qvCol, col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "vec_id", "label", "cos")
+      .localCheckpoint(eager = true)
+    assigned.unpersist()
+    res
+  }
+
   /** ANN top-k: candidates = all buckets within Hamming distance
     * `probeRadius` of the query's bucket (multi-probe LSH), ranked by
     * exact cosine. radius 2 over 8 planes probes 37/256 buckets — ~7x

@@ -48,30 +48,40 @@ object BM25 {
     * ties break on doc_id asc.
     */
   def topK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
-           queries: Seq[(Int, String)], cfg: EngineConfig = EngineConfig.default): DataFrame = {
+           queries: Seq[(Int, String)], cfg: EngineConfig = EngineConfig.default,
+           conjunctive: Boolean = false): DataFrame = {
     import spark.implicits._
     val post = Postings.build(docs, idCol, contentCol)
     val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
-    val qterms = queries
-      .flatMap { case (qid, text) => CodeTokenizer.queryTerms(text).map(t => (qid, t)) }
-      .toDF("qid", "term")
+    val analyzed = queries.map { case (qid, text) => qid -> CodeTokenizer.queryTerms(text) }
+    val qterms = analyzed
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.size)) }
+      .toDF("qid", "term", "n_terms")
     val dfTbl = Postings.docFreq(post)
     // (qid, term, df): tiny — broadcast side of the postings join.
     val qdf = qterms.join(dfTbl, "term")
     val weighted = post.join(broadcast(qdf), "term")
       .withColumn("w", weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
-    scoreAndRank(weighted, cfg.topK)
+    scoreAndRank(weighted, cfg.topK, conjunctive)
   }
 
   /** Sum per-(qid, doc) weights in ascending term order, rank, take k.
-    * Input needs columns (qid, doc_id, term, w). */
-  def scoreAndRank(weighted: DataFrame, k: Int): DataFrame = {
-    val scores = weighted
+    * Input needs columns (qid, doc_id, term, w) and, when `conjunctive`,
+    * n_terms (docs must match every analyzed term — ES bool/must
+    * semantics; OR/`match` semantics otherwise). */
+  def scoreAndRank(weighted: DataFrame, k: Int, conjunctive: Boolean = false): DataFrame = {
+    val grouped = weighted
       .groupBy("qid", "doc_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("term"), col("w")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("w")).as("score"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("w")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("w")).as("score"),
+        count(lit(1)).as("matched"),
+        first(col("n_terms"), ignoreNulls = true).as("n_terms"))
+    val scores =
+      if (conjunctive) grouped.filter(col("matched") === col("n_terms"))
+      else grouped
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     scores.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

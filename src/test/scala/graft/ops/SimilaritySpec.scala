@@ -37,6 +37,28 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF recall@10 >= 0.8 on clustered embeddings; exact on probed lists") {
+    import spark.implicits._
+    val dims = 64
+    def h(a: Int, b: Int): Double = Similarity.planeComponent(a * 131 + 7, b)
+    val centers = Array.tabulate(10)(k => {
+      val c = Array.tabulate(dims)(i => h(k, i))
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    })
+    val vecs = (0 until 400).map { id =>
+      val k = id % 10
+      val v = Array.tabulate(dims)(i => centers(k)(i) + 0.08 * h(1000 + id, i))
+      (id.toLong, k, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val exact = Similarity.cosineTopK(vecs, 0L, 10).collect().map(_.getLong(1)).toSet
+    val ivf = Similarity.ivfTopK(vecs, 0L, 10, nlist = 16, nprobe = 4).collect()
+    val recall = exact.intersect(ivf.map(_.getLong(1)).toSet).size / 10.0
+    info(s"IVF recall@10 on clustered corpus = $recall")
+    assert(recall >= 0.8, s"recall $recall")
+    assert(ivf.minBy(_.getLong(0)).getLong(1) === 0L) // query retrieves itself
+  }
+
   test("ANN on near-random embeddings: exact scores, query self-retrieval, real pruning") {
     val ann = Similarity.annTopK(emb, 0L, 10).collect()
     val first = ann.minBy(_.getLong(0))
