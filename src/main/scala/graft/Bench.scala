@@ -26,10 +26,12 @@ import graft.metrics.Metrics
 object Bench {
 
   private val HeadlineQueries = Seq(
-    "q1_agg", "q_count_lineitem", "q_topk_events", "q_dedup_latest",
+    "q1_agg", "q3_topk", "q_count_lineitem", "q_topk_events", "q_dedup_latest",
     "q_antijoin", "q_validation_counts", "q_warnings_top", "q_sample_head",
-    "ft_postings", "ft_df", "ft_bm25_topk", "ft_wand_topk", "ing_docmap",
-    "dd_exact", "dd_minhash_lsh", "sim_cosine_topk", "sim_ann_topk",
+    "q_window_running", "q_rollup", "q_distinct", "q_ts_coercion",
+    "ft_postings", "ft_df", "ft_bm25_topk", "ft_bm25_conj", "ft_wand_topk",
+    "ing_docmap", "dd_exact", "dd_minhash_lsh", "sim_cosine_topk",
+    "sim_ann_topk", "sim_ivf_topk",
     "txt_quality", "txt_tokens", "txt_fingerprint", "txt_langid", "mm_features")
 
   private def session(master: String, shufflePartitions: Int): SparkSession = {
@@ -118,6 +120,25 @@ object Bench {
     }
     spark.stop()
 
+    // 1b. serving throughput: repeated WAND top-10 batches against the
+    // prebuilt compressed index (queries/sec over the reference set)
+    val qps: Double = if (skipQueries) -1.0 else {
+      val s2 = session(s"local[$cpus]", cpus.toInt)
+      try {
+        val idx = SparkEntry.ensureIndex(s2, sfDir)
+        // warmup
+        graft.query.Wand.topK(s2, idx, SparkEntry.FtQuerySet, SparkEntry.IndexCfg)
+          .write.mode("overwrite").format("noop").save()
+        val reps = 5
+        val t0 = System.nanoTime()
+        (1 to reps).foreach { _ =>
+          graft.query.Wand.topK(s2, idx, SparkEntry.FtQuerySet, SparkEntry.IndexCfg)
+            .write.mode("overwrite").format("noop").save()
+        }
+        reps * SparkEntry.FtQuerySet.size / ((System.nanoTime() - t0) / 1e9)
+      } finally s2.stop()
+    }
+
     // 2. scaling evidence: same indexing job at N and 4N cores (the
     // sandbox stand-in for N vs 4N executors — see BASELINE.md)
     val scaleN = sys.env.getOrElse("GRAFT_SCALE_N", "2").toInt
@@ -132,6 +153,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""indexing":{"docs":$n8,"secs":$s8,"docs_per_sec":${thr8.round}},""" +
+        s""""wand_queries_per_sec":${math.rint(qps * 10) / 10},""" +
         s""""scaling":{"cores_n":$scaleN,"cores_4n":${scaleN * 4},"docs_per_sec_n":${thr2.round},""" +
         s""""docs_per_sec_4n":${thr8.round},"efficiency":${math.rint(eff * 1000) / 1000}},""" +
         s""""query_metrics":${metrics.json}}""")

@@ -79,6 +79,25 @@ object OracleSql {
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin
 
+  private val qWindowRunning =
+    """SELECT user_id, seq, event_id, printf('%.4f', running_value) AS running_value
+      |FROM (SELECT user_id, event_id,
+      |        sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      |      FROM events)
+      |WHERE seq <= 5 ORDER BY user_id, seq""".stripMargin
+
+  private val qRollup =
+    """SELECT coalesce(event_type, '__total__') AS event_type, count(*) AS cnt
+      |FROM events GROUP BY ROLLUP (event_type) ORDER BY 1""".stripMargin
+
+  private val qDistinct =
+    """SELECT count(DISTINCT user_id) AS n_users,
+      |       count(DISTINCT event_type) AS n_types,
+      |       count(DISTINCT (user_id, event_type)) AS n_user_type
+      |FROM events""".stripMargin
+
   // --- full-text engine ---------------------------------------------------
 
   private val postCte =
@@ -272,6 +291,9 @@ object OracleSql {
     "ing_docmap"          -> ingDocmap,
     "q_ts_coercion"       -> qTsCoercion,
     "q3_topk"             -> q3Topk,
+    "q_window_running"    -> qWindowRunning,
+    "q_rollup"            -> qRollup,
+    "q_distinct"          -> qDistinct,
     "dd_exact"            -> ddExact,
     "dd_ngram_jaccard"    -> ddJaccard(0.06),
     "dd_minhash_lsh"      -> ddJaccard(0.5),

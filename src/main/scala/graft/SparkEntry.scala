@@ -132,6 +132,38 @@ object SparkEntry {
       expr("try_cast(get_json_object(props, '$.missing') as int)").as("k_missing"))
       .orderBy("event_id")
 
+  /** §2.5: running window aggregate (cumulative per-user spend ordered
+    * by time — the windowed form of the reference's running totals,
+    * MigrationService.cs:633-639). */
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "events")
+      .withColumn("running_value", sum(col("value")).over(w))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))).cast("long"))
+      .filter(col("seq") <= 5) // first 5 events per user: bounded, deterministic
+      .select(col("user_id"), col("seq"), col("event_id"),
+        format_string("%.4f", col("running_value")).as("running_value"))
+      .orderBy("user_id", "seq")
+  }
+
+  /** A-family breadth: rollup totals (subtotal + grand total rows). */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("event_type"), lit("__total__")).as("event_type"), col("cnt"))
+      .orderBy("event_type")
+
+  /** Exact distinct aggregates. */
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("user_id"), col("event_type")).as("n_user_type"))
+
   /** T2/T3: deterministic sample head (ordered limit). */
   private def qSampleHead(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem")
@@ -420,6 +452,9 @@ object SparkEntry {
     "ing_docmap"          -> (qIngDocmap _),
     "q_ts_coercion"       -> (qTsCoercion _),
     "q3_topk"             -> (qQ3Topk _),
+    "q_window_running"    -> (qWindowRunning _),
+    "q_rollup"            -> (qRollup _),
+    "q_distinct"          -> (qDistinct _),
     "sim_ivf_topk"        -> (qIvfTopk _),
     "dd_exact"            -> (qDedupExact _),
     "dd_ngram_jaccard"    -> (qNgramJaccard _),
