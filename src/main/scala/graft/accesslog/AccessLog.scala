@@ -123,12 +123,57 @@ object AccessLog {
 
   /** Read + parse an AccessLog CSV (PERMISSIVE, header-driven — S1/S2). */
   def readCsv(spark: SparkSession, path: String): DataFrame =
-    coerce(spark.read
+    coerce(rawCsv(spark, path))
+
+  private def rawCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
       .option("header", true)
       .option("quote", "\"")
       .option("escape", "\"")
       .option("mode", "PERMISSIVE")
-      .csv(path))
+      .csv(path)
+
+  /** S3: header probe — the required minimum header set must be present
+    * (CSVService.cs:97-104); returns the missing headers. */
+  def missingRequiredHeaders(headers: Seq[String]): Seq[String] = {
+    val present = headers.map(_.toLowerCase).toSet
+    RequiredHeaders.toSeq.sorted.filterNot(present.contains)
+  }
+
+  /** T6: error-rate circuit breaker (StopOnError — CSVService.cs:302-305):
+    * count structurally corrupt lines plus rows killed by the fatal
+    * missing-_id rule; abort the ingest when the budget is exceeded.
+    * Also enforces the S3 header probe up front. */
+  def readCsvWithErrorBudget(spark: SparkSession, path: String,
+                             maxErrors: Long = 10): DataFrame = {
+    val raw0 = rawCsv(spark, path)
+    val missing = missingRequiredHeaders(raw0.columns.toSeq)
+    require(missing.isEmpty, s"missing required headers: ${missing.mkString(", ")}")
+    // re-read with an explicit all-string schema + corrupt-record column
+    // (PERMISSIVE mode routes malformed lines there instead of dropping)
+    val fields = raw0.columns.map(c => StructField(c, StringType)) :+
+      StructField("_corrupt_record", StringType)
+    val raw = spark.read
+      .option("header", true)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(StructType(fields))
+      .csv(path)
+      .cache()
+    try {
+      val corrupt = raw.filter(col("_corrupt_record").isNotNull).count()
+      val idDead = raw.filter(col("_corrupt_record").isNull)
+        .filter(nullNorm(col("_id")).isNull).count()
+      val errors = corrupt + idDead
+      if (errors > maxErrors)
+        throw new IllegalStateException(
+          s"error budget exceeded: $errors parse errors > $maxErrors (StopOnError)")
+      coerce(raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"))
+        .localCheckpoint(eager = true)
+    } finally raw.unpersist()
+  }
 
   // --- hard-constraint battery (AccessLogValidator.cs:19-138) -------------------
 

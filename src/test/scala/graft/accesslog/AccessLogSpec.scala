@@ -154,6 +154,29 @@ class AccessLogSpec extends SparkSuite {
     assert(out(0).getAs[Int]("event_id") === 2)
   }
 
+  test("S3 header probe: missing required headers reported / enforced") {
+    assert(AccessLog.missingRequiredHeaders(Seq("_id", "accessLog")) ===
+      Seq("eventid", "timestamp"))
+    assert(AccessLog.missingRequiredHeaders(header.split(",").toSeq) === Seq.empty)
+    val f = Files.createTempFile("accesslog_nohdr_", ".csv")
+    Files.writeString(f, "_id,foo\nx,1")
+    assertThrows[IllegalArgumentException](
+      AccessLog.readCsvWithErrorBudget(spark, f.toString))
+  }
+
+  test("T6 circuit breaker: aborts past the error budget, passes under it") {
+    val good = (1 to 5).map(i => row("_id" -> s"ok$i"))
+    val bad = (1 to 4).map(_ => row("_id" -> "null")) // fatal missing-_id rows
+    val f = Files.createTempFile("accesslog_errs_", ".csv")
+    Files.writeString(f, (header +: (good ++ bad)).mkString("\n"))
+    // budget 10 : passes, keeps only valid rows
+    assert(AccessLog.readCsvWithErrorBudget(spark, f.toString, maxErrors = 10).count() === 5)
+    // budget 3 : aborts (StopOnError semantics)
+    val ex = intercept[IllegalStateException](
+      AccessLog.readCsvWithErrorBudget(spark, f.toString, maxErrors = 3))
+    assert(ex.getMessage.contains("error budget exceeded"))
+  }
+
   test("unknown columns tolerated; required headers checked externally") {
     val f = Files.createTempFile("accesslog_extra_", ".csv")
     Files.writeString(f,
