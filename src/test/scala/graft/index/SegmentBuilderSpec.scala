@@ -92,6 +92,22 @@ class SegmentBuilderSpec extends SparkSuite {
     }
   }
 
+  test("ingest is idempotent: running it twice yields the same docmap and postings") {
+    val dir = freshDir()
+    try {
+      val docs = spark.read.parquet(docsPath)
+      SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, cfg)
+      val docmap1 = spark.read.parquet(s"$dir/docmap").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      val post1 = spark.read.parquet(s"$dir/postings").count()
+      SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, cfg)
+      val docmap2 = spark.read.parquet(s"$dir/docmap").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(docmap2 === docmap1)
+      assert(spark.read.parquet(s"$dir/postings").count() === post1)
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("lineage change (different config) invalidates checkpoints") {
     val dir = freshDir()
     try {

@@ -48,6 +48,41 @@ class WandSpec extends SparkSuite {
     }
   }
 
+  test("property: WAND == oracle on random Zipfian corpora and random queries") {
+    import spark.implicits._
+    val vocab = (1 to 40).map(i => s"w$i") // Zipfian-ish via quadratic skew below
+    def word(seed: Long, i: Int): String = {
+      val h = math.abs(graft.ops.Dedup.fnv1a64(s"$seed:$i"))
+      vocab(((h % 1600) * vocab.size / 1600).toInt.min(vocab.size - 1) match {
+        case x => (x * x / vocab.size) // quadratic skew -> hot low ids
+      })
+    }
+    for (round <- 1 to 4) {
+      val docs = (0L until 120L).map { id =>
+        val len = 10 + (math.abs(graft.ops.Dedup.fnv1a64(s"len$round:$id")) % 50).toInt
+        (id, (0 until len).map(i => word(round * 1000 + id, i)).mkString(" "))
+      }
+      val dir = Files.createTempDirectory(s"graft_wand_prop_$round").toString
+      try {
+        val c = cfg.copy(shards = 2, blockSize = 8, saltTargetPostings = 64)
+        val df = docs.toDF("doc_id", "text")
+        SegmentBuilder.ingest(spark, df, col("doc_id"), col("text"), dir, c)
+        SegmentBuilder.buildAll(spark, dir, c)
+        val queries = Seq(
+          1 -> s"${word(round, 1)}",
+          2 -> s"${word(round, 2)} ${word(round, 3)}",
+          3 -> s"${word(round, 4)} ${word(round, 5)} ${word(round, 6)} zzznope")
+        val wand = collectHits(Wand.topK(spark, dir, queries, c))
+        for ((qid, text) <- queries) {
+          val oracle = NaiveBM25.topK(docs, text, c.topK, c.k1, c.b)
+            .map(h => (h.docId, h.score))
+          assert(wand.getOrElse(qid, Seq.empty) === oracle,
+            s"round $round q$qid <$text>")
+        }
+      } finally new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("ties break deterministically under WAND (duplicate docs)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_wand_tie_").toString
