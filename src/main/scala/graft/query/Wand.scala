@@ -208,25 +208,44 @@ object Wand {
     * rows of its terms (posting lists arrive compressed; block-max WAND
     * decodes only the blocks it cannot skip). */
   def topK(spark: SparkSession, indexDir: String, queries: Seq[(Int, String)],
-           cfg: EngineConfig = EngineConfig.default): DataFrame = {
+           cfg: EngineConfig = EngineConfig.default): DataFrame =
+    new Handle(spark, indexDir, cfg).topK(queries)
+
+  /** Serving handle: corpus stats are read once and the per-term df
+    * metadata table (one small row per (term, salt) run — no posting
+    * payloads) is cached across query batches. Segment payload rows are
+    * still fetched per batch with an In(term,...) pushdown, which is
+    * the part that must NOT be pinned in memory at 10^12-doc scale. */
+  final class Handle(spark: SparkSession, indexDir: String,
+                     cfg: EngineConfig = EngineConfig.default) {
     import spark.implicits._
-    val (n, avgdl) = SegmentBuilder.readStats(spark, indexDir)
-    val allTerms = queries.flatMap { case (_, t) => CodeTokenizer.queryTerms(t) }.distinct
-    val seg = spark.read.parquet(s"$indexDir/segments")
-      .filter(col("term").isin(allTerms: _*)) // pushed to parquet row groups
-    val dfMap: Map[String, Long] = seg.groupBy("term")
-      .agg(sum("n_postings").as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val q2t = queries.flatMap { case (qid, t) => CodeTokenizer.queryTerms(t).map(qid -> _) }
-      .toDF("qid", "term")
-    val k = cfg.topK; val k1 = cfg.k1; val b = cfg.b
-    seg.join(broadcast(q2t), "term")
-      .as[QSegRow]
-      .groupByKey(_.qid)
-      .flatMapGroups { (qid, rows) =>
-        wandQuery(qid, rows.toArray, dfMap, n, avgdl, k, k1, b).iterator
-      }
-      .toDF()
-      .orderBy("qid", "rank")
+    private val (n, avgdl) = SegmentBuilder.readStats(spark, indexDir)
+    private val seg = spark.read.parquet(s"$indexDir/segments")
+    /** (term, df) — metadata-only columns, cached. */
+    private val dfTable = seg.groupBy("term").agg(sum("n_postings").as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def topK(queries: Seq[(Int, String)]): DataFrame = {
+      val allTerms = queries.flatMap { case (_, t) => CodeTokenizer.queryTerms(t) }.distinct
+      if (allTerms.isEmpty)
+        return spark.emptyDataset[Hit].toDF().orderBy("qid", "rank")
+      val dfMap: Map[String, Long] = dfTable.filter(col("term").isin(allTerms: _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val q2t = queries.flatMap { case (qid, t) => CodeTokenizer.queryTerms(t).map(qid -> _) }
+        .toDF("qid", "term")
+      val k = cfg.topK; val k1 = cfg.k1; val b = cfg.b
+      val nL = n; val avg = avgdl
+      seg.filter(col("term").isin(allTerms: _*)) // pushed to parquet row groups
+        .join(broadcast(q2t), "term")
+        .as[QSegRow]
+        .groupByKey(_.qid)
+        .flatMapGroups { (qid, rows) =>
+          wandQuery(qid, rows.toArray, dfMap, nL, avg, k, k1, b).iterator
+        }
+        .toDF()
+        .orderBy("qid", "rank")
+    }
+
+    def close(): Unit = dfTable.unpersist()
   }
 }
