@@ -98,6 +98,14 @@ object OracleSql {
       |       count(DISTINCT (user_id, event_type)) AS n_user_type
       |FROM events""".stripMargin
 
+  private val qSetOps =
+    """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, 'click_only' AS relation FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+      |UNION ALL
+      |SELECT user_id, 'both' AS relation FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+      |ORDER BY relation, user_id""".stripMargin
+
   // --- full-text engine ---------------------------------------------------
 
   private val postCte =
@@ -294,6 +302,7 @@ object OracleSql {
     "q_window_running"    -> qWindowRunning,
     "q_rollup"            -> qRollup,
     "q_distinct"          -> qDistinct,
+    "q_set_ops"           -> qSetOps,
     "dd_exact"            -> ddExact,
     "dd_ngram_jaccard"    -> ddJaccard(0.06),
     "dd_minhash_lsh"      -> ddJaccard(0.5),

@@ -164,6 +164,25 @@ object SparkEntry {
       countDistinct(col("event_type")).as("n_types"),
       countDistinct(col("user_id"), col("event_type")).as("n_user_type"))
 
+  /** §2.7 set operations: users who clicked but never purchased
+    * (EXCEPT), and users who did both (INTERSECT). */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "events")
+    val clickers = e.filter(col("event_type") === "click").select("user_id").distinct()
+    val buyers = e.filter(col("event_type") === "purchase").select("user_id").distinct()
+    clickers.except(buyers).withColumn("relation", lit("click_only"))
+      .unionAll(clickers.intersect(buyers).withColumn("relation", lit("both")))
+      .orderBy("relation", "user_id")
+  }
+
+  /** Approximate distinct (HLL++): engine-specific sketch, so no SQL
+    * oracle — the error bound vs exact is asserted in spec. */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   /** T2/T3: deterministic sample head (ordered limit). */
   private def qSampleHead(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem")
@@ -455,6 +474,8 @@ object SparkEntry {
     "q_window_running"    -> (qWindowRunning _),
     "q_rollup"            -> (qRollup _),
     "q_distinct"          -> (qDistinct _),
+    "q_set_ops"           -> (qSetOps _),
+    "q_approx_distinct"   -> (qApproxDistinct _),
     "sim_ivf_topk"        -> (qIvfTopk _),
     "dd_exact"            -> (qDedupExact _),
     "dd_ngram_jaccard"    -> (qNgramJaccard _),
