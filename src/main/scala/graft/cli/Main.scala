@@ -102,6 +102,12 @@ object Main {
           s""""postings":${built.map(_.postings).sum},"bytes":${built.map(_.bytes).sum},""" +
           s""""secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
         spark.stop()
+      case "merge" :: indexDir :: outDir :: Nil =>
+        val spark = session("graft-merge")
+        val t0 = System.nanoTime()
+        graft.index.SegmentMerger.mergeAll(spark, indexDir, outDir, cfg)
+        println(s"""{"op":"merge","secs":${(System.nanoTime() - t0) / 1e9}}""")
+        spark.stop()
       case "query" :: indexDir :: text :: rest =>
         val spark = session("graft-query")
         val k = rest.headOption.map(_.toInt).getOrElse(cfg.topK)
@@ -115,7 +121,8 @@ object Main {
         System.err.println(
           s"unknown command: ${other.mkString(" ")}\n" +
             "usage: ingest <docs.parquet> <indexDir> | build <indexDir> | " +
-            "query <indexDir> <text> [k] | analyze <docs.parquet>")
+            "merge <indexDir> <outDir> | query <indexDir> <text> [k] | " +
+            "analyze <docs.parquet>")
         sys.exit(2)
     }
   }

@@ -159,7 +159,7 @@ object SegmentBuilder {
 
     segments.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/segments/shard=$shard")
     ShardManifest(shard, "done", postingsAcc.value, segRowsAcc.value, bytesAcc.value,
-      (System.nanoTime() - t0) / 1e9, lineage(spark, indexDir, cfg))
+      (System.nanoTime() - t0) / 1e9, lineage(spark, indexDir, cfg, shard))
   }
 
   /** Iterator-to-iterator run encoder: never materializes a run; at most
@@ -209,11 +209,23 @@ object SegmentBuilder {
 
   // --- checkpoint manifest ------------------------------------------------------
 
-  def lineage(spark: SparkSession, indexDir: String, cfg: EngineConfig): String = {
+  /** Shard checkpoint lineage: config + corpus stats (avgdl changes
+    * every block's max-score metadata) + the shard's actual postings
+    * file listing (names + sizes) — so an incremental postings append
+    * invalidates exactly the shards it touched, nothing else. */
+  def lineage(spark: SparkSession, indexDir: String, cfg: EngineConfig,
+              shard: Int = -1): String = {
     val (n, avgdl) = readStats(spark, indexDir)
+    val files =
+      if (shard < 0) ""
+      else {
+        val dir = new java.io.File(s"$indexDir/postings/shard=$shard")
+        Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${f.getName}:${f.length}").sorted.mkString(",")).getOrElse("")
+      }
     val md = MessageDigest.getInstance("SHA-256")
     val s = s"$indexDir|n=$n|avgdl=$avgdl|k1=${cfg.k1}|b=${cfg.b}|bs=${cfg.blockSize}|" +
-      s"shards=${cfg.shards}|salt=${cfg.saltTargetPostings}"
+      s"shards=${cfg.shards}|salt=${cfg.saltTargetPostings}|files=$files"
     md.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
   }
 
@@ -253,8 +265,8 @@ object SegmentBuilder {
   def buildAll(spark: SparkSession, indexDir: String,
                cfg: EngineConfig = EngineConfig.default,
                concurrency: Int = 1): Seq[ShardManifest] = {
-    val lin = lineage(spark, indexDir, cfg)
-    val todo = (0 until cfg.shards).filterNot(manifestDone(indexDir, _, lin))
+    val todo = (0 until cfg.shards).filterNot(s =>
+      manifestDone(indexDir, s, lineage(spark, indexDir, cfg, s)))
     def runOne(shard: Int): ShardManifest = {
       val m = buildShard(spark, indexDir, shard, cfg)
       writeManifest(indexDir, m)

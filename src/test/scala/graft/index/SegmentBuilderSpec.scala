@@ -108,6 +108,31 @@ class SegmentBuilderSpec extends SparkSuite {
     } finally new Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("incremental append invalidates exactly the touched shards") {
+    import org.apache.spark.sql.SaveMode
+    val dir = freshDir()
+    try {
+      buildIndex(dir)
+      assert(SegmentBuilder.buildAll(spark, dir, cfg) === Seq.empty)
+      // streaming-style postings append for a handful of new docs
+      val extra = spark.createDataFrame(Seq(
+        (900001L, "completely new needle tokens appended incrementally"))).toDF("doc_id", "text")
+      Postings.build(extra, col("doc_id"), col("text"))
+        .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
+        .write.mode(SaveMode.Append).partitionBy("shard").parquet(s"$dir/postings")
+      val touched = spark.read.parquet(s"$dir/postings")
+        .filter(col("doc_id") === 900001L)
+        .select("shard").distinct().collect().map(_.getInt(0)).toSet
+      assert(touched.nonEmpty && touched.size < cfg.shards)
+      val rebuilt = SegmentBuilder.buildAll(spark, dir, cfg)
+      assert(rebuilt.map(_.shard).toSet === touched,
+        "only the shards whose postings changed may rebuild")
+      // the new doc is now searchable
+      val hits = graft.query.Wand.topK(spark, dir, Seq(1 -> "incrementally"), cfg).collect()
+      assert(hits.length === 1 && hits.head.getLong(2) === 900001L)
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("lineage change (different config) invalidates checkpoints") {
     val dir = freshDir()
     try {
