@@ -151,6 +151,43 @@ object OracleSql {
        |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
   }
 
+  /** Phrase oracle: per-phrase candidate sets via m-gram containment,
+    * then the standard BM25 pipeline on distinct terms. */
+  private def ftPhrase: String = {
+    val analyzed = SparkEntry.PhraseQuerySet
+      .map { case (qid, text) => (qid, CodeTokenizer.tokenize(text).toSeq) }
+      .filter(_._2.nonEmpty)
+    val candSelects = analyzed.map { case (qid, terms) =>
+      val m = terms.length
+      val gram = (0 until m).map(j => s"tokens[i+$j]").mkString(" || ' ' || ")
+      s"""SELECT $qid AS qid, doc_id FROM toks
+         |  WHERE list_contains(list_transform(range(1, greatest(len(tokens) - $m + 2, 1)),
+         |    i -> $gram), '${terms.mkString(" ")}')""".stripMargin
+    }
+    val qvals = analyzed.flatMap { case (qid, ts) =>
+      ts.distinct.sorted.map(t => s"($qid, '$t')")
+    }
+    val (k1, b) = (cfg.k1, cfg.b)
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |cand AS (${candSelects.mkString("\n UNION ALL \n")}),
+       |q(qid, term) AS (VALUES ${qvals.mkString(", ")}),
+       |wts AS (
+       |  SELECT q.qid, p.term, p.doc_id,
+       |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ($k1 + 1.0)) /
+       |      (p.tf + $k1 * ((1.0 - $b) + ($b * p.doclen) / s.avgdl)) AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  JOIN cand c ON c.qid = q.qid AND c.doc_id = p.doc_id
+       |  CROSS JOIN stats s),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM sc)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
   private val qTsCoercion =
     """WITH s AS (SELECT event_id,
       |  CASE event_id % 4
@@ -295,6 +332,7 @@ object OracleSql {
     "ft_df"               -> ftDf,
     "ft_bm25_topk"        -> ftBm25(),
     "ft_bm25_conj"        -> ftBm25(conjunctive = true),
+    "ft_phrase"           -> ftPhrase,
     "ft_wand_topk"        -> ftBm25(), // WAND must be rank-identical to the declarative path
     "ing_docmap"          -> ingDocmap,
     "q_ts_coercion"       -> qTsCoercion,

@@ -215,6 +215,22 @@ object SparkEntry {
       .select(col("qid"), col("rank"), col("doc_id"),
         format_string("%.4f", col("score")).as("score"))
 
+  /** Phrase query set: common 2-gram, hot 2-gram, rare 3-grams, and an
+    * adjacency-impossible pair (both terms exist, never adjacent). */
+  val PhraseQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "spark fast",
+    2 -> "table value",
+    3 -> "data stream window",
+    4 -> "hash join merge",
+    5 -> "dup table")
+
+  /** ES match_phrase: ordered adjacency via m-gram shingle containment,
+    * corpus-stats BM25 scoring on qualifying docs. */
+  private def qFtPhrase(s: SparkSession, dir: String): DataFrame =
+    BM25.phraseTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"), PhraseQuerySet)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
   /** Conjunctive (ES bool/must) BM25: docs must match every analyzed
     * term; oracle enforces the same with HAVING count = n_terms. */
   private def qFtBm25Conj(s: SparkSession, dir: String): DataFrame =
@@ -467,6 +483,7 @@ object SparkEntry {
     "ft_df"               -> (qFtDf _),
     "ft_bm25_topk"        -> (qFtBm25 _),
     "ft_bm25_conj"        -> (qFtBm25Conj _),
+    "ft_phrase"           -> (qFtPhrase _),
     "ft_wand_topk"        -> (qFtWand _),
     "ing_docmap"          -> (qIngDocmap _),
     "q_ts_coercion"       -> (qTsCoercion _),

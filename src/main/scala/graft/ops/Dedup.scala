@@ -19,10 +19,12 @@ object Dedup {
   /** Word 3-gram shingles over analyzer tokens (order-preserving).
     * Native sliding-window expression; semantics equal to the
     * transform/sequence/element_at form (tested), ~100x faster. */
-  def shinglesCol(tokens: Column): Column = {
+  def shinglesCol(tokens: Column): Column = shinglesColN(tokens, 3)
+
+  def shinglesColN(tokens: Column, n: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.toColumn(
-      graft.analyze.ShinglesExpr(GraftColumnBridge.toExpression(tokens), 3))
+      graft.analyze.ShinglesExpr(GraftColumnBridge.toExpression(tokens), n))
   }
 
   /** (doc_id, shingle) distinct. */

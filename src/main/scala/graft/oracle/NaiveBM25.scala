@@ -41,4 +41,31 @@ object NaiveBM25 {
     }
     hits.sortBy(h => (-h.score, h.docId)).take(k)
   }
+
+  /** Phrase (adjacency, slop 0): docs containing the analyzed terms
+    * consecutively in order, scored over the phrase's distinct terms
+    * with corpus-wide stats. */
+  def phraseTopK(docs: Seq[(Long, String)], phrase: String, k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): Seq[Hit] = {
+    val terms = CodeTokenizer.tokenize(phrase).toSeq
+    if (terms.isEmpty) return Seq.empty
+    val tokenized = docs.map { case (id, c) => (id, CodeTokenizer.tokenize(c)) }
+    val n = tokenized.size.toLong
+    val avgdl = if (n == 0) 0.0 else tokenized.map(_._2.length.toLong).sum.toDouble / n
+    val distinctSorted = terms.distinct.sorted
+    val dfMap = distinctSorted.map(t => t -> tokenized.count(_._2.contains(t)).toLong).toMap
+    val hits = tokenized.flatMap { case (id, toks) =>
+      val matches = toks.length >= terms.length &&
+        toks.sliding(terms.length).exists(_.toSeq == terms)
+      if (!matches) None
+      else {
+        val dl = toks.length.toLong
+        val ws = distinctSorted.map { t =>
+          BM25.weight(toks.count(_ == t).toLong, dl, dfMap(t), n, avgdl, k1, b)
+        }
+        Some(Hit(id, ws.foldLeft(0.0)(_ + _)))
+      }
+    }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
 }

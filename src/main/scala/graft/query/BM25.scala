@@ -65,6 +65,47 @@ object BM25 {
     scoreAndRank(weighted, cfg.topK, conjunctive)
   }
 
+  /** Phrase top-k (ES match_phrase semantics, adjacency slop 0): a doc
+    * qualifies only if the analyzed phrase terms occur consecutively in
+    * order; qualifying docs are scored with corpus-wide BM25 stats over
+    * the phrase's distinct terms. Adjacency is tested as membership of
+    * the joined phrase in the doc's m-gram shingle set — no positional
+    * payloads needed in the index (candidates are re-checked from
+    * source, the classic recheck pattern). */
+  def phraseTopK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                 phrases: Seq[(Int, String)],
+                 cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    import graft.analyze.CodeTokenizer
+    val post = Postings.build(docs, idCol, contentCol)
+    val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
+    val analyzed = phrases
+      .map { case (qid, text) => (qid, CodeTokenizer.tokenize(text).toSeq) }
+      .filter(_._2.nonEmpty)
+    // candidates per phrase: m-gram shingle containment (ordered adjacency)
+    val candFrames = analyzed.map { case (qid, terms) =>
+      val m = terms.length
+      val shingles = graft.ops.Dedup.shinglesColN(
+        CodeTokenizer.tokensColFast(contentCol), m)
+      docs.filter(array_contains(shingles, terms.mkString(" ")))
+        .select(lit(qid).as("qid"), idCol.cast("long").as("doc_id"))
+    }
+    if (candFrames.isEmpty)
+      return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
+    val candidates = candFrames.reduce(_ unionAll _)
+    val qterms = analyzed
+      .flatMap { case (qid, ts) =>
+        val distinctSorted = ts.distinct.sorted
+        distinctSorted.map(t => (qid, t, distinctSorted.size))
+      }
+      .toDF("qid", "term", "n_terms")
+    val qdf = qterms.join(Postings.docFreq(post), "term")
+    val weighted = post.join(broadcast(qdf), "term")
+      .join(candidates, Seq("qid", "doc_id"), "left_semi")
+      .withColumn("w", weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
+    scoreAndRank(weighted, cfg.topK)
+  }
+
   /** Sum per-(qid, doc) weights in ascending term order, rank, take k.
     * Input needs columns (qid, doc_id, term, w) and, when `conjunctive`,
     * n_terms (docs must match every analyzed term — ES bool/must

@@ -62,6 +62,24 @@ class Bm25Spec extends SparkSuite {
     assert(dfA.toSeq === dfB.toSeq)
   }
 
+  test("phrase queries: engine == oracle, adjacency enforced") {
+    val engine = BM25.phraseTopK(spark, docsDf, col("doc_id"), col("text"),
+      SparkEntry.PhraseQuerySet).collect()
+      .groupBy(_.getInt(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq).toMap
+    for ((qid, text) <- SparkEntry.PhraseQuerySet) {
+      val oracle = graft.oracle.NaiveBM25.phraseTopK(docsLocal, text, 10)
+        .map(h => (h.docId, h.score))
+      assert(engine.getOrElse(qid, Seq.empty) === oracle, s"phrase q$qid <$text>")
+    }
+    // the adjacency-impossible pair must return nothing even though a
+    // conjunctive query for the same terms does match docs
+    assert(!engine.contains(5))
+    val conj = BM25.topK(spark, docsDf, col("doc_id"), col("text"),
+      Seq(5 -> "dup table"), conjunctive = true)
+    assert(conj.count() > 0)
+  }
+
   test("deterministic docId tie-break: equal-score docs ordered by docId asc") {
     // Synthetic corpus with exact duplicates -> guaranteed score ties.
     val docs = (0L until 20L).map(i => (i, if (i % 2 == 0) "alpha beta gamma" else "delta epsilon"))
