@@ -13,7 +13,8 @@ import graft.metrics.Metrics
   *    SPARK_GRAFT_SF_DIR, cores from SPARK_GRAFT_CPUS),
   *  - end-to-end indexing throughput (docs/sec) on a deterministic
   *    replicated corpus (FIXTURES.md: 200k+ docs for bench; default
-  *    160 x 5000 = 800k docs), and
+  *    200 x 5000 = 1M docs — large enough that fixed job overhead stops
+  *    distorting the N-vs-4N comparison), and
   *  - the north-rule scaling evidence: the SAME indexing job at
   *    local[N] and local[4N] (default 2 vs 8 — the range where this
   *    VM's vCPUs are linear; see BASELINE.md) on the SAME input, with
@@ -97,7 +98,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val replicas = sys.env.getOrElse("GRAFT_BENCH_REPLICAS", "160").toInt
+    val replicas = sys.env.getOrElse("GRAFT_BENCH_REPLICAS", "200").toInt
 
     // 1. headline operator timings at the driver-requested parallelism
     val skipQueries = sys.env.get("GRAFT_BENCH_MODE").contains("scaling")
