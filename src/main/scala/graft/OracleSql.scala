@@ -106,6 +106,24 @@ object OracleSql {
       |SELECT user_id, 'both' AS relation FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
       |ORDER BY relation, user_id""".stripMargin
 
+  private val qSessionize =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(date_trunc('second', ts))::BIGINT -
+      |              epoch(date_trunc('second', lag(ts) OVER w))::BIGINT > 600
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+      |  FROM g)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- full-text engine ---------------------------------------------------
 
   private val postCte =
@@ -341,6 +359,7 @@ object OracleSql {
     "q_rollup"            -> qRollup,
     "q_distinct"          -> qDistinct,
     "q_set_ops"           -> qSetOps,
+    "q_sessionize"        -> qSessionize,
     "dd_exact"            -> ddExact,
     "dd_ngram_jaccard"    -> ddJaccard(0.06),
     "dd_minhash_lsh"      -> ddJaccard(0.5),

@@ -157,6 +157,25 @@ object SparkEntry {
       .select(coalesce(col("event_type"), lit("__total__")).as("event_type"), col("cnt"))
       .orderBy("event_type")
 
+  /** Batch sessionization (the relational twin of the streaming
+    * flatMapGroupsWithState version): gap > 10 minutes starts a new
+    * session; one summary row per session. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = tbl(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 600, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    e.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** Exact distinct aggregates. */
   private def qDistinct(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events").agg(
@@ -493,6 +512,7 @@ object SparkEntry {
     "q_distinct"          -> (qDistinct _),
     "q_set_ops"           -> (qSetOps _),
     "q_approx_distinct"   -> (qApproxDistinct _),
+    "q_sessionize"        -> (qSessionize _),
     "sim_ivf_topk"        -> (qIvfTopk _),
     "dd_exact"            -> (qDedupExact _),
     "dd_ngram_jaccard"    -> (qNgramJaccard _),
