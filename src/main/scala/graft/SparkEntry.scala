@@ -265,12 +265,17 @@ object SparkEntry {
     shards = 4, buildPartitions = 8, saltTargetPostings = 1024)
 
   /** Build (or resume — the manifest makes re-entry a no-op) the
-    * compressed segment index for `dir`'s documents table. */
+    * compressed segment index for `dir`'s documents table. Lives on
+    * tmpfs when available (serving measurements must capture the
+    * engine, not the sandbox's virtio disk — same rule as Bench), and
+    * resume gates on the atomic ingest-complete marker, not on stats
+    * existence (a crash between the two ingest passes must re-ingest). */
   def ensureIndex(s: SparkSession, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val idx = s"/tmp/graft_index_$key"
-    if (!new java.io.File(s"$idx/stats").exists())
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    val idx = s"$base/graft_index_$key"
+    if (!SegmentBuilder.ingestDone(idx))
       SegmentBuilder.ingest(s, tbl(s, dir, "documents"),
         col("doc_id"), col("text"), idx, IndexCfg)
     SegmentBuilder.buildAll(s, idx, IndexCfg)

@@ -109,6 +109,9 @@ object AccessLog {
       col("nationality_id"),
       expr("try_cast(passage_duration as decimal(10,2))").as("passage_duration"),
       expr("try_cast(port as int)").as("port"),
+      // raw string kept for reference-parity validation (BeValidPort
+      // rejects non-numeric strings; try_cast would silently null them)
+      col("port").as("port_raw"),
       col("reader_name"),
       col("result"),
       col("serial_number"),
@@ -179,19 +182,47 @@ object AccessLog {
 
   /** Turkish national ID checksum, expression-only (no UDF):
     * 11 digits, d1 != 0,
-    * d10 = ((sum of odd-position digits)*7 - sum of even-position digits) mod 10,
-    * d11 = (sum of first 10 digits) mod 10. (AccessLogValidator.cs:199-218) */
+    * d10 = ((sum of odd-position digits)*7 - sum of even-position digits) % 10,
+    * d11 = (sum of first 10 digits) % 10. (AccessLogValidator.cs:199-218)
+    * `%` (not pmod) mirrors C#'s signed remainder: when oddSum*7 <
+    * evenSum the reference's check digit is negative and can never
+    * equal d10 — such IDs must be rejected, exactly as the reference
+    * rejects them. */
   def tcChecksumOk(c: Column): Column = {
     def d(i: Int): Column = substring(c, i, 1).cast("int")
     val oddSum = d(1) + d(3) + d(5) + d(7) + d(9)
     val evenSum = d(2) + d(4) + d(6) + d(8)
-    val d10 = pmod(oddSum * 7 - evenSum, lit(10))
-    val d11 = pmod(oddSum + evenSum + d(10), lit(10))
+    val d10 = (oddSum * 7 - evenSum) % 10
+    val d11 = (oddSum + evenSum + d(10)) % 10
     c.rlike("^[0-9]{11}$") && d(1) =!= 0 && d(10) === d10 && d(11) === d11
   }
 
-  val Ipv4Pattern =
-    "^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$"
+  /** Nationality ID rule (AccessLogValidator.cs:179-193): the Turkish
+    * checksum applies ONLY to 11-digit values; anything else passes on a
+    * lenient 5..50 length envelope (other-country formats). */
+  def nationalityIdOk(c: Column): Column =
+    when(c.rlike("^[0-9]{11}$"), tcChecksumOk(c))
+      .otherwise(length(c).between(5, 50))
+
+  private val V4Body =
+    "((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+
+  val Ipv4Pattern = s"^$V4Body$$"
+
+  /** IPv6 (full, ::-compressed, link-local zone, IPv4-mapped/embedded
+    * tails) — mirrors what System.Net.IPAddress.TryParse accepts
+    * (AccessLogValidator.cs:168-174) except .NET's legacy IPv4
+    * shorthand ("1" == 0.0.0.1), which we deliberately reject. */
+  val Ipv6Pattern: String = {
+    val h = "[0-9A-Fa-f]{1,4}"
+    s"^(($h:){7}$h|($h:){1,7}:|($h:){1,6}:$h|($h:){1,5}(:$h){1,2}|" +
+      s"($h:){1,4}(:$h){1,3}|($h:){1,3}(:$h){1,4}|($h:){1,2}(:$h){1,5}|" +
+      s"$h:((:$h){1,6})|:((:$h){1,7}|:)|[Ff][Ee]80:(:$h){0,4}%[0-9A-Za-z]+|" +
+      s"::([Ff]{4}(:0{1,4})?:)?$V4Body|($h:){1,4}:$V4Body)$$"
+  }
+
+  /** Real IP validation, IPv4 and IPv6 (no colon-garbage passes). */
+  def ipOk(c: Column): Column = c.rlike(Ipv4Pattern) || c.rlike(Ipv6Pattern)
 
   /** (rule name, violated-when-false predicate); null passes every rule
     * except the explicit non-null ones — the reference validates
@@ -215,14 +246,23 @@ object AccessLog {
       "transaction_id_pos" -> okOrNull(col("transaction_id"), col("transaction_id") > 0),
       "passage_duration_range" -> okOrNull(col("passage_duration"),
         col("passage_duration").between(0, 3600)),
-      "port_range" -> okOrNull(col("port"), col("port").between(1, 65535)),
+      // the reference validates Port as a STRING (length cap + parse +
+      // range — BeValidPort, AccessLogValidator.cs:223-231): a
+      // non-numeric port is a violation, not a silent null. The rule
+      // therefore runs on the pre-coercion string column.
+      "port_range" -> okOrNull(col("port_raw"),
+        length(col("port_raw")) <= 10 &&
+          expr("try_cast(port_raw as int)").isNotNull && // non-numeric = violation
+          expr("try_cast(port_raw as int)").between(1, 65535)),
       "image_ext" -> okOrNull(col("image"),
         lower(col("image")).rlike("\\.(jpg|jpeg|png|bmp|gif)$")),
-      "ip_format" -> okOrNull(col("ip"), col("ip").rlike(Ipv4Pattern) || col("ip").contains(":")),
+      "ip_format" -> okOrNull(col("ip"), ipOk(col("ip"))),
       "nationality_id_checksum" -> okOrNull(col("nationality_id"),
-        tcChecksumOk(col("nationality_id"))),
+        nationalityIdOk(col("nationality_id"))),
       "timestamp_future" -> okOrNull(col("timestamp"),
-        col("timestamp") <= current_timestamp() + expr("INTERVAL 1 DAY")))
+        col("timestamp") <= current_timestamp() + expr("INTERVAL 1 DAY")),
+      "transaction_time_future" -> okOrNull(col("transaction_time"),
+        col("transaction_time") <= current_timestamp() + expr("INTERVAL 1 DAY")))
   }
 
   /** errors: array<string> of violated hard rules (empty = valid). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analyze.CodeTokenizer
-import graft.config.EngineConfig
+import graft.config.{EngineConfig, IndexNaming}
 import graft.index.{Postings, SegmentBuilder}
 import graft.metrics.Metrics
 import graft.query.Wand
@@ -40,6 +40,18 @@ object Main {
       buildPartitions = i("GRAFT_BUILD_PARTITIONS", d.buildPartitions),
       saltTargetPostings = l("GRAFT_SALT_TARGET", d.saltTargetPostings))
   }
+
+  /** Masks credential values in echoed configuration — the reference's
+    * ConsoleLogger.MaskPassword (ConsoleLogger.cs:351-361), widened to
+    * the usual secret key names. */
+  def maskSecrets(s: String): String =
+    s.replaceAll("(?i)(password|passwd|secret|token|api_key)(\\s*=\\s*)([^;,\\s]*)", "$1$2***")
+
+  /** One-line GRAFT_* config echo with secrets masked (never prints a
+    * credential in the clear, like the reference's settings dump). */
+  def configEcho(env: Map[String, String] = sys.env): String =
+    env.keys.filter(_.startsWith("GRAFT_")).toSeq.sorted
+      .map(k => maskSecrets(s"$k=${env(k)}")).mkString(" ")
 
   def session(app: String): SparkSession = {
     val s = SparkSession.builder()
@@ -84,8 +96,18 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val cfg = configFromEnv()
+    val echo = configEcho()
+    if (echo.nonEmpty) System.err.println(s"config: $echo")
     args.toList match {
       case "ingest" :: docs :: indexDir :: Nil =>
+        // ES index-name pre-flight on the index's basename
+        // (MigrationSettingsValidator.cs:114-144 semantics)
+        val name = new java.io.File(indexDir).getName
+        val bad = IndexNaming.violations(name)
+        if (bad.nonEmpty) {
+          System.err.println(s"invalid index name '$name': ${bad.mkString("; ")}")
+          sys.exit(2)
+        }
         val spark = session("graft-ingest")
         val m = Metrics.attach(spark)
         val t0 = System.nanoTime()

@@ -21,6 +21,10 @@ final case class EngineConfig(
     // hot-term skew: a term whose postings exceed this count is salted
     // across ceil(df / saltTargetPostings) sub-runs
     saltTargetPostings: Long = 1L << 20,
+    // serving: WAND runs per (query, doc-range) task and merges the
+    // bounded top-k lists — per-task memory is the query's postings
+    // within ONE range, never a whole hot term (ES-shard-style fan-out)
+    serveDocRanges: Int = 8,
     // tokenizer envelope (mirrored in graft.analyze.CodeTokenizer)
     minTokenLen: Int = 2,
     maxTokenLen: Int = 64
@@ -35,6 +39,8 @@ final case class EngineConfig(
   require(shards >= 1 && shards <= 100000, s"shards out of range: $shards")
   require(buildPartitions >= 1, s"buildPartitions out of range: $buildPartitions")
   require(saltTargetPostings >= 16, s"saltTargetPostings too small: $saltTargetPostings")
+  require(serveDocRanges >= 1 && serveDocRanges <= 100000,
+    s"serveDocRanges out of range: $serveDocRanges")
   require(minTokenLen >= 1 && maxTokenLen >= minTokenLen, "token length envelope invalid")
 }
 

@@ -52,12 +52,14 @@ final case class ShardManifest(shard: Int, status: String, postings: Long,
   * interrupted build resumes without recomputation; shard output is
   * deterministic, so resume yields identical segments.
   *
-  * Skew (north_rule): postings are salted by hashed docId into
-  * ceil(df/saltTargetPostings) sub-runs for hot terms, then hash
-  * repartitioned on (term, salt) — a Zipfian term no longer lands on a
-  * single reducer. Runs of one term interleave docIds; the query layer
-  * treats each run as one more WAND cursor, and [[Codec.mergeRuns]]
-  * k-way merges them back when consolidating.
+  * Skew (north_rule): stage 1 range-repartitions on (term, doc_id) —
+  * the range partitioner's sampler places balanced boundaries, so a
+  * Zipfian term splits across reducers at DOC boundaries instead of
+  * landing on one. Each resulting run (salt = partition id) covers a
+  * narrow contiguous doc range: the query layer treats each run as one
+  * more WAND cursor AND can prune runs by doc-range when fanning a
+  * query out (see Wand.Handle); [[Codec.mergeRuns]] k-way merges runs
+  * back when consolidating.
   */
 object SegmentBuilder {
 
@@ -107,8 +109,22 @@ object SegmentBuilder {
         .parquet(s"$indexDir/postings")
     }
     Await.result(Future.sequence(Seq(pass1, pass2)), Duration.Inf)
+    // Atomic ingest-complete marker, written only after BOTH passes
+    // land: a crash between stats and postings must not let a resume
+    // treat the partial postings dir as a finished ingest (resume gates
+    // on this marker, never on stats existence alone).
+    val dir = Paths.get(indexDir)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve("_ingested.tmp")
+    Files.writeString(tmp, lineage(spark, indexDir, cfg))
+    Files.move(tmp, dir.resolve("_ingested"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  /** True iff a previous [[ingest]] ran to completion (both passes). */
+  def ingestDone(indexDir: String): Boolean =
+    Files.exists(Paths.get(indexDir, "_ingested"))
 
   def readStats(spark: SparkSession, indexDir: String): (Long, Double) = {
     val r = spark.read.parquet(s"$indexDir/stats").head()
@@ -121,6 +137,16 @@ object SegmentBuilder {
     * postings, a few hundred KB compressed) independent of term df. */
   val BlocksPerRow = 256
 
+  /** Shard build: range-repartition on (term, doc_id) — Spark's range
+    * partitioner samples the shard and places balanced boundaries, so a
+    * hot (Zipfian) term splits across partitions AT DOC BOUNDARIES.
+    * Every run (salt = partition id) therefore covers a narrow
+    * CONTIGUOUS doc range, which is what lets the serving layer fan a
+    * query out per doc-range without shipping whole hot terms to every
+    * task (a hash-salted run would scatter its docs across the full
+    * corpus and overlap every serve range). Reducer balance comes from
+    * the sampler instead of a manual hot-term salt count; row size is
+    * additionally capped at blockSize x BlocksPerRow postings. */
   def buildShard(spark: SparkSession, indexDir: String, shard: Int,
                  cfg: EngineConfig): ShardManifest = {
     import spark.implicits._
@@ -129,31 +155,23 @@ object SegmentBuilder {
     val post = spark.read.parquet(s"$indexDir/postings")
       .filter(col("shard") === shard) // partition-pruned scan
 
-    // hot-term detection: df per term (map-side-combined agg), keep only
-    // the few terms needing >1 salt — broadcastable by construction
-    val hot = post.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cfg.saltTargetPostings)
-      .withColumn("nsalts",
-        ceil(col("df").cast("double") / cfg.saltTargetPostings).cast("int"))
-      .select("term", "nsalts")
-
-    val salted = post.join(broadcast(hot), Seq("term"), "left")
-      .withColumn("salt",
-        when(col("nsalts").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col("doc_id")), col("nsalts"))).cast("int"))
-      .select(col("term"), col("salt"), col("doc_id"),
-        col("tf").cast("long").as("tf"), col("doclen").cast("long").as("doclen"))
-
     val postingsAcc = spark.sparkContext.longAccumulator(s"postings_$shard")
     val bytesAcc = spark.sparkContext.longAccumulator(s"bytes_$shard")
     val segRowsAcc = spark.sparkContext.longAccumulator(s"segrows_$shard")
 
-    val segments = salted
-      .repartition(cfg.buildPartitions, col("term"), col("salt"))
-      .sortWithinPartitions("term", "salt", "doc_id")
-      .as[PostingRec]
+    val blockSize = cfg.blockSize; val k1 = cfg.k1; val b = cfg.b
+    val segments = post
+      .select(col("term"), col("doc_id"),
+        col("tf").cast("long").as("tf"), col("doclen").cast("long").as("doclen"))
+      .repartitionByRange(cfg.buildPartitions, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .as[(String, Long, Long, Long)]
       .mapPartitions { it =>
-        encodeRuns(it, cfg.blockSize, BlocksPerRow, cfg.k1, cfg.b, avgdl,
+        // runs of one term in different partitions are doc-disjoint
+        // contiguous ranges; the partition id distinguishes them
+        val salt = org.apache.spark.TaskContext.getPartitionId()
+        encodeRuns(it.map { case (t, d, tf, dl) => PostingRec(t, salt, d, tf, dl) },
+          blockSize, BlocksPerRow, k1, b, avgdl,
           postingsAcc, bytesAcc, segRowsAcc)
       }
 

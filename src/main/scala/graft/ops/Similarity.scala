@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Similarity search over an embedding column (array&lt;float&gt;):
   * brute-force cosine top-k as the exact baseline, and a random-
@@ -10,29 +10,65 @@ import org.apache.spark.sql.functions._
   * a handful of sign-pattern buckets instead of the full corpus; at
   * 100 TB the bucket table is the shuffle key and each query probes
   * O(planes) buckets).
+  *
+  * Ranking discipline (100 TB rule): top-k is ALWAYS a
+  * TakeOrderedAndProject (`orderBy(...).limit(k)` — per-partition heaps
+  * merged on the driver, no global sort, no single-partition exchange);
+  * ranks are derived from the collected k rows, which are bounded by the
+  * caller's k. A `Window.orderBy` without partitionBy would funnel every
+  * candidate through one task — banned here and guarded in PlanSpec.
   */
 object Similarity {
 
-  /** cos(q, v) with the exact association dot / (sqrt(nq) * sqrt(nv)). */
-  def cosineCol(qv: Column, v: Column): Column = {
+  /** cos(q, v) — native expression ([[CosineSimExpr]]); inputs must be
+    * array&lt;double&gt;. */
+  def cosineCol(qv: Column, v: Column): Column = VecExprs.cosine(qv, v)
+
+  /** Interpreted higher-order form of [[cosineCol]] — kept only as the
+    * property-test oracle for the native expression (bit-equal by
+    * construction; ~100x slower per row). */
+  def cosineColHof(qv: Column, v: Column): Column = {
     val dot = aggregate(zip_with(qv, v, (x, y) => x * y), lit(0.0), (a, x) => a + x)
     val nq = aggregate(transform(qv, x => x * x), lit(0.0), (a, x) => a + x)
     val nv = aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x)
     dot / (sqrt(nq) * sqrt(nv))
   }
 
-  /** Exact brute-force cosine top-k vs the vector with id `queryId`. */
-  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+  /** The scale-safe top-k plan over a scored candidate frame: global
+    * `orderBy(cos desc, vec_id asc).limit(k)` plans as
+    * TakeOrderedAndProject (per-partition heap + driver merge). Exposed
+    * separately so PlanSpec can pin the physical shape. */
+  def topKPlanned(scored: DataFrame, k: Int): DataFrame =
+    scored.select(col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** Rank the top k of a scored frame: run [[topKPlanned]], then number
+    * the <= k collected rows (bounded by the caller's k — never a
+    * corpus-sized driver fetch). */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    val top = topKPlanned(scored, k)
+    val ranked = top.collect().zipWithIndex.map { case (r, i) =>
+      Row.fromSeq((i + 1).toLong +: r.toSeq)
+    }
+    val schema = StructType(
+      StructField("rank", LongType, nullable = false) +: top.schema.fields)
+    spark.createDataFrame(java.util.Arrays.asList(ranked: _*), schema)
+  }
+
+  /** Scored candidates for exact brute-force cosine vs vector `queryId`
+    * (lazy — the full corpus crossJoins a broadcast 1-row query). */
+  def cosineScored(embeddings: DataFrame, queryId: Long): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
-    val scored = e.crossJoin(broadcast(q))
-      .withColumn("cos", cosineCol(col("qv"), col("v")))
-    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("rank", "vec_id", "label", "cos")
+    e.crossJoin(broadcast(q)).withColumn("cos", cosineCol(col("qv"), col("v")))
   }
+
+  /** Exact brute-force cosine top-k vs the vector with id `queryId`. */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame =
+    rankTopK(cosineScored(embeddings, queryId), k)
 
   // --- random-hyperplane LSH ----------------------------------------------------
 
@@ -105,18 +141,14 @@ object Similarity {
       val list = centroids.maxBy(c => cos(c._2, v))._1
       (id, label, v, list)
     }.toDF("vec_id", "label", "v", "list").cache()
-    val qv = assigned.filter(col("vec_id") === queryId).head().getSeq[Double](2).toArray
-    val probeLists = centroids.sortBy(c => -cos(c._2, qv)).take(nprobe).map(_._1).toSeq
-    val qvCol = array(qv.map(lit): _*)
-    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
-    val res = assigned.filter(col("list").isin(probeLists: _*))
-      .withColumn("cos", cosineCol(qvCol, col("v")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("rank", "vec_id", "label", "cos")
-      .localCheckpoint(eager = true)
-    assigned.unpersist()
-    res
+    try {
+      val qv = assigned.filter(col("vec_id") === queryId).head().getSeq[Double](2).toArray
+      val probeLists = centroids.sortBy(c => -cos(c._2, qv)).take(nprobe).map(_._1).toSeq
+      val qvCol = array(qv.map(lit): _*)
+      val scored = assigned.filter(col("list").isin(probeLists: _*))
+        .withColumn("cos", cosineCol(qvCol, col("v")))
+      rankTopK(scored, k)
+    } finally { assigned.unpersist(); () }
   }
 
   /** ANN top-k: candidates = all buckets within Hamming distance
@@ -126,20 +158,16 @@ object Similarity {
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int, nPlanes: Int = 8,
               probeRadius: Int = 2): DataFrame = {
     val b = bucketed(embeddings, nPlanes).cache()
-    val qRow = b.filter(col("vec_id") === queryId).head()
-    val qBucket = qRow.getInt(3)
-    val probeBuckets = (0 until (1 << nPlanes))
-      .filter(m => Integer.bitCount(m) <= probeRadius)
-      .map(m => qBucket ^ m)
-    val qv = array(qRow.getSeq[Double](2).map(lit): _*)
-    val cand = b.filter(col("bucket").isin(probeBuckets: _*))
-      .withColumn("cos", cosineCol(qv, col("v")))
-    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
-    val res = cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("rank", "vec_id", "label", "cos")
-      .localCheckpoint(eager = true)
-    b.unpersist()
-    res
+    try {
+      val qRow = b.filter(col("vec_id") === queryId).head()
+      val qBucket = qRow.getInt(3)
+      val probeBuckets = (0 until (1 << nPlanes))
+        .filter(m => Integer.bitCount(m) <= probeRadius)
+        .map(m => qBucket ^ m)
+      val qv = array(qRow.getSeq[Double](2).map(lit): _*)
+      val cand = b.filter(col("bucket").isin(probeBuckets: _*))
+        .withColumn("cos", cosineCol(qv, col("v")))
+      rankTopK(cand, k)
+    } finally { b.unpersist(); () }
   }
 }

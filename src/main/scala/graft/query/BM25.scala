@@ -1,7 +1,6 @@
 package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.analyze.CodeTokenizer
 import graft.config.EngineConfig
@@ -82,17 +81,9 @@ object BM25 {
     val analyzed = phrases
       .map { case (qid, text) => (qid, CodeTokenizer.tokenize(text).toSeq) }
       .filter(_._2.nonEmpty)
-    // candidates per phrase: m-gram shingle containment (ordered adjacency)
-    val candFrames = analyzed.map { case (qid, terms) =>
-      val m = terms.length
-      val shingles = graft.ops.Dedup.shinglesColN(
-        CodeTokenizer.tokensColFast(contentCol), m)
-      docs.filter(array_contains(shingles, terms.mkString(" ")))
-        .select(lit(qid).as("qid"), idCol.cast("long").as("doc_id"))
-    }
-    if (candFrames.isEmpty)
+    if (analyzed.isEmpty)
       return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
-    val candidates = candFrames.reduce(_ unionAll _)
+    val candidates = phraseCandidates(docs, idCol, contentCol, analyzed)
     val qterms = analyzed
       .flatMap { case (qid, ts) =>
         val distinctSorted = ts.distinct.sorted
@@ -106,10 +97,39 @@ object BM25 {
     scoreAndRank(weighted, cfg.topK)
   }
 
+  /** Phrase candidate sets, one corpus scan per DISTINCT phrase length m
+    * (not one per phrase): the m-gram shingle array is computed once and
+    * intersected with every m-length phrase literal; matched phrases map
+    * back to qids through a broadcast lookup. Output: (qid, doc_id). */
+  def phraseCandidates(docs: DataFrame, idCol: Column, contentCol: Column,
+                       analyzed: Seq[(Int, Seq[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byLen = analyzed.groupBy(_._2.length).toSeq.sortBy(_._1)
+    byLen.map { case (m, group) =>
+      val shingles = graft.ops.Dedup.shinglesColN(
+        CodeTokenizer.tokensColFast(contentCol), m)
+      val phraseLits = group.map(_._2.mkString(" ")).distinct
+      val p2q = group.map { case (qid, ts) => (ts.mkString(" "), qid) }
+        .toDF("phrase", "qid")
+      docs.select(idCol.cast("long").as("doc_id"),
+          array_intersect(shingles, array(phraseLits.map(lit): _*)).as("hits"))
+        .filter(size(col("hits")) > 0)
+        .select(col("doc_id"), explode(col("hits")).as("phrase"))
+        .join(broadcast(p2q), "phrase")
+        .select(col("qid"), col("doc_id"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Sum per-(qid, doc) weights in ascending term order, rank, take k.
     * Input needs columns (qid, doc_id, term, w) and, when `conjunctive`,
     * n_terms (docs must match every analyzed term — ES bool/must
-    * semantics; OR/`match` semantics otherwise). */
+    * semantics; OR/`match` semantics otherwise).
+    *
+    * Ranking is a bounded [[TopKByScore]] aggregation per qid (map-side
+    * partial top-k heaps, k rows per partition per qid on the shuffle) —
+    * NOT a per-qid window, which would sort every candidate of a hot
+    * query inside one task (round-1 scale-killer; guarded in PlanSpec). */
   def scoreAndRank(weighted: DataFrame, k: Int, conjunctive: Boolean = false): DataFrame = {
     val grouped = weighted
       .groupBy("qid", "doc_id")
@@ -123,10 +143,11 @@ object BM25 {
     val scores =
       if (conjunctive) grouped.filter(col("matched") === col("n_terms"))
       else grouped
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
-    scores.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "doc_id", "score")
+    scores.groupBy("qid")
+      .agg(TopKAgg.topK(k)(col("score"), col("doc_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sd")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("sd.doc_id").as("doc_id"), col("sd.score").as("score"))
       .orderBy("qid", "rank")
   }
 }

@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
 
 import graft.analyze.CodeTokenizer
 import graft.config.EngineConfig
@@ -20,6 +21,16 @@ import graft.index.{BlockRow, SegmentBuilder}
   *    engine score MORE candidates, never skip a true top-k member; tie
   *    candidates (bound == threshold) are never skipped and resolve by
   *    the deterministic (score desc, docId asc) comparator.
+  *
+  * Distribution (100 TB rule): serving fans out per (query, doc-range) —
+  * the ES-shard design. Segment rows are assigned to the doc-ranges
+  * their [first_doc, last_doc] span overlaps (metadata only, no decode),
+  * each (qid, range) task runs exact WAND over its range with global
+  * corpus stats, and the <= ranges x k local hits merge through the same
+  * bounded [[TopKByScore]] aggregation the declarative path uses.
+  * Per-task memory is the query's COMPRESSED postings within one range —
+  * never a whole hot term pinned in one task (round-1 scale-killer;
+  * bounded-decode asserted in WandSpec via accumulator).
   */
 object Wand {
 
@@ -29,11 +40,16 @@ object Wand {
 
   final case class Hit(qid: Int, rank: Long, doc_id: Long, score: Double)
 
+  /** One unranked local hit (per doc-range); ranks exist only after the
+    * per-qid merge. */
+  final case class QHit(qid: Int, doc_id: Long, score: Double)
+
   private val BoundInflate = 1.0 + 1e-9
 
-  /** One (term, salt) run: lazily-decoded cursor over its blocks. */
+  /** One (term, salt) run restricted to docs in [lo, hi): lazily-decoded
+    * cursor over its blocks. */
   private final class Cursor(val term: String, val idf: Double, val df: Long,
-                             rows: Array[QSegRow]) {
+                             rows: Array[QSegRow], hi: Long = Long.MaxValue) {
     // flatten blocks across row_seq order; skip metadata per block
     private val blocks: Array[BlockRow] = rows.sortBy(_.row_seq).flatMap(_.blocks)
     private val nb = blocks.length
@@ -62,6 +78,15 @@ object Wand {
     def curTf: Long = tfs(pi)
     def curDl: Long = dls(pi)
 
+    /** Exhaust once positioned at or past the range's upper bound
+      * (metadata short-circuit first: no decode when the whole block is
+      * out of range). */
+    private def clampHi(): Unit =
+      if (!exhausted && hi != Long.MaxValue) {
+        if (docs == null && blocks(bi).first_doc >= hi) exhausted = true
+        else { decode(); if (docs(pi) >= hi) exhausted = true }
+      }
+
     /** Block-level UB for the block that would contain `target`
       * (metadata only, no decode). */
     def blockUbFor(target: Long): Double = {
@@ -79,6 +104,8 @@ object Wand {
 
     def nextGEQ(target: Long): Unit = {
       if (exhausted) return
+      // fresh cursor, target at/before this block's first doc: no decode
+      if (docs == null && target <= blocks(bi).first_doc) { clampHi(); return }
       // block skip on metadata only
       if (target > curDocLowerBound()) {
         var moved = false
@@ -87,17 +114,18 @@ object Wand {
       }
       decode()
       // in-block: galloping not needed at blockSize<=1024; binary search
-      var lo = pi; var hi = docs.length
+      var lo = pi; var hi2 = docs.length
       if (docs(lo) < target) {
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (docs(mid) < target) lo = mid + 1 else hi = mid
+        while (lo < hi2) {
+          val mid = (lo + hi2) >>> 1
+          if (docs(mid) < target) lo = mid + 1 else hi2 = mid
         }
         if (lo == docs.length) {
           if (bi + 1 < nb) { bi += 1; pi = 0; docs = null; decode() }
           else { exhausted = true; return }
         } else pi = lo
       }
+      clampHi()
     }
 
     private def curDocLowerBound(): Long =
@@ -107,19 +135,27 @@ object Wand {
       decode()
       if (pi + 1 < docs.length) pi += 1
       else if (bi + 1 < nb) { bi += 1; pi = 0; docs = null }
-      else exhausted = true
+      else { exhausted = true; return }
+      clampHi()
     }
   }
 
-  /** Exact block-max WAND for one query. */
-  def wandQuery(qid: Int, rows: Array[QSegRow], dfMap: Map[String, Long],
-                n: Long, avgdl: Double, k: Int, k1: Double, b: Double): Seq[Hit] = {
+  /** Exact block-max WAND over docs in [lo, hi) for one query; returns
+    * the top-k (score, docId) best-first. Global top-k = merge of the
+    * per-range lists (scores depend only on global stats, so every
+    * range's local list is exact over its docs). */
+  def wandScores(rows: Array[QSegRow], dfMap: Map[String, Long],
+                 n: Long, avgdl: Double, k: Int, k1: Double, b: Double,
+                 lo: Long = Long.MinValue,
+                 hi: Long = Long.MaxValue): Seq[(Double, Long)] = {
     val cursors: Array[Cursor] = rows.groupBy(r => (r.term, r.salt)).map {
       case ((term, _), rs) =>
         val df = dfMap(term)
-        new Cursor(term, BM25.idf(df, n), df, rs)
-    }.toArray.filter(!_.exhausted)
-    if (cursors.isEmpty) return Seq.empty
+        new Cursor(term, BM25.idf(df, n), df, rs, hi)
+    }.toArray
+    if (lo != Long.MinValue) cursors.foreach(_.nextGEQ(lo))
+    val active = mutable.ArrayBuffer[Cursor](cursors.filter(!_.exhausted): _*)
+    if (active.isEmpty) return Seq.empty
 
     // k-best by (score desc, docId asc); head of the set = current worst
     val worstFirst: Ordering[(Double, Long)] =
@@ -134,7 +170,6 @@ object Wand {
       }
     }
 
-    val active = mutable.ArrayBuffer[Cursor](cursors: _*)
     while (active.nonEmpty) {
       val sorted = active.sortBy(_.curDoc)
       // pivot: first prefix whose summed run-UBs could reach theta
@@ -146,7 +181,7 @@ object Wand {
         if (acc >= theta) pIdx = i
         i += 1
       }
-      if (pIdx == -1) return finish(qid, heap, k)
+      if (pIdx == -1) return finishScores(heap, k)
       val pivot = sorted(pIdx).curDoc
       // extend to every cursor positioned exactly at the pivot — they all
       // contribute to its score and must be covered by any skip bound
@@ -197,25 +232,31 @@ object Wand {
       }
       active.filterInPlace(!_.exhausted)
     }
-    finish(qid, heap, k)
+    finishScores(heap, k)
   }
 
-  private def finish(qid: Int, heap: mutable.TreeSet[(Double, Long)], k: Int): Seq[Hit] =
+  private def finishScores(heap: mutable.TreeSet[(Double, Long)], k: Int): Seq[(Double, Long)] =
     heap.toSeq.sortBy { case (s, d) => (-s, d) }.take(k)
+
+  /** Single-task exact WAND with ranks (spec/direct use). */
+  def wandQuery(qid: Int, rows: Array[QSegRow], dfMap: Map[String, Long],
+                n: Long, avgdl: Double, k: Int, k1: Double, b: Double): Seq[Hit] =
+    wandScores(rows, dfMap, n, avgdl, k, k1, b)
       .zipWithIndex.map { case ((s, d), r) => Hit(qid, (r + 1).toLong, d, s) }
 
-  /** Spark entry: one task per query over the broadcast-joined segment
-    * rows of its terms (posting lists arrive compressed; block-max WAND
-    * decodes only the blocks it cannot skip). */
+  /** Spark entry: per-(query, doc-range) WAND tasks over the
+    * broadcast-joined segment rows of the query's terms (posting lists
+    * arrive compressed; block-max WAND decodes only the blocks it cannot
+    * skip), merged per query through a bounded top-k aggregation. */
   def topK(spark: SparkSession, indexDir: String, queries: Seq[(Int, String)],
            cfg: EngineConfig = EngineConfig.default): DataFrame =
     new Handle(spark, indexDir, cfg).topK(queries)
 
-  /** Serving handle: corpus stats are read once and the per-term df
-    * metadata table (one small row per (term, salt) run — no posting
-    * payloads) is cached across query batches. Segment payload rows are
-    * still fetched per batch with an In(term,...) pushdown, which is
-    * the part that must NOT be pinned in memory at 10^12-doc scale. */
+  /** Serving handle: corpus stats, doc-range boundaries and the per-term
+    * df metadata table (one small row per (term, salt) run — no posting
+    * payloads) are read once and cached across query batches. Segment
+    * payload rows are fetched per batch with an In(term,...) pushdown
+    * and fan out per doc-range, so no task ever pins a whole hot term. */
   final class Handle(spark: SparkSession, indexDir: String,
                      cfg: EngineConfig = EngineConfig.default) {
     import spark.implicits._
@@ -224,8 +265,20 @@ object Wand {
     /** (term, df) — metadata-only columns, cached. */
     private val dfTable = seg.groupBy("term").agg(sum("n_postings").as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    /** Doc-range boundaries: (R-1)-quantiles of docmap doc_id, read once
+      * (tiny); range i covers [bounds(i-1), bounds(i)). */
+    private val rangeBounds: Array[Long] =
+      if (cfg.serveDocRanges <= 1) Array.empty
+      else {
+        val qs = (1 until cfg.serveDocRanges)
+          .map(i => i.toDouble / cfg.serveDocRanges)
+        spark.read.parquet(s"$indexDir/docmap")
+          .select(expr(s"approx_percentile(doc_id, array(${qs.mkString(",")}))"))
+          .head().getSeq[Long](0).distinct.sorted.toArray
+      }
 
-    def topK(queries: Seq[(Int, String)]): DataFrame = {
+    def topK(queries: Seq[(Int, String)],
+             taskPostingsAcc: CollectionAccumulator[java.lang.Long] = null): DataFrame = {
       val allTerms = queries.flatMap { case (_, t) => CodeTokenizer.queryTerms(t) }.distinct
       if (allTerms.isEmpty)
         return spark.emptyDataset[Hit].toDF().orderBy("qid", "rank")
@@ -235,14 +288,37 @@ object Wand {
         .toDF("qid", "term")
       val k = cfg.topK; val k1 = cfg.k1; val b = cfg.b
       val nL = n; val avg = avgdl
-      seg.filter(col("term").isin(allTerms: _*)) // pushed to parquet row groups
+      val bounds = rangeBounds
+      val dfm = dfMap
+      val acc = taskPostingsAcc
+      // range id of a doc = number of boundaries <= doc (tiny fold, codegen'd)
+      def ridOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        bounds.foldLeft(lit(0))((a, bd) => a + when(c >= bd, 1).otherwise(0))
+      val ranged = seg.filter(col("term").isin(allTerms: _*)) // pushed to parquet row groups
         .join(broadcast(q2t), "term")
-        .as[QSegRow]
-        .groupByKey(_.qid)
-        .flatMapGroups { (qid, rows) =>
-          wandQuery(qid, rows.toArray, dfMap, nL, avg, k, k1, b).iterator
+        .withColumn("rid",
+          explode(sequence(ridOf(col("first_doc")), ridOf(col("last_doc")))))
+        .select(col("rid"), struct(col("qid"), col("term"), col("salt"),
+          col("row_seq"), col("n_postings"), col("first_doc"), col("last_doc"),
+          col("max_u"), col("blocks")).as("row"))
+        .as[(Int, QSegRow)]
+      val localHits = ranged
+        .groupByKey { case (rid, r) => (r.qid, rid) }
+        .flatMapGroups { (key, it) =>
+          val (qid, rid) = key
+          val rows = it.map(_._2).toArray
+          if (acc != null) acc.add(rows.map(_.n_postings).sum)
+          val lo = if (rid == 0) Long.MinValue else bounds(rid - 1)
+          val hi = if (rid >= bounds.length) Long.MaxValue else bounds(rid)
+          wandScores(rows, dfm, nL, avg, k, k1, b, lo, hi)
+            .map { case (s, d) => QHit(qid, d, s) }.iterator
         }
-        .toDF()
+      localHits.toDF()
+        .groupBy("qid")
+        .agg(TopKAgg.topK(k)(col("score"), col("doc_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sd")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+          col("sd.doc_id").as("doc_id"), col("sd.score").as("score"))
         .orderBy("qid", "rank")
     }
 

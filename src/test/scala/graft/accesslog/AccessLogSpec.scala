@@ -119,6 +119,62 @@ class AccessLogSpec extends SparkSuite {
     assert(rs(1).getAs[scala.collection.Seq[String]]("errors").contains("nationality_id_checksum"))
   }
 
+  test("IP validation parity: real IPv4 AND IPv6, colon-garbage rejected") {
+    def errsFor(ip: String): Set[String] = AccessLog.validate(parse(
+      row("ip" -> ip))).head().getAs[scala.collection.Seq[String]]("errors").toSet
+    // accepted (IPAddress.TryParse-equivalent forms)
+    for (ok <- Seq("10.0.0.1", "255.255.255.255", "2001:db8::1", "::1",
+        "fe80::1%eth0", "::ffff:192.168.1.1",
+        "2001:0db8:85a3:0000:0000:8a2e:0370:7334"))
+      assert(!errsFor(ok).contains("ip_format"), s"'$ok' must be a valid IP")
+    // rejected — colon-containing garbage must NOT pass anymore
+    for (bad <- Seq("abc:def:gg::zz", "12345::1", ":::", "1:2:3:4:5:6:7:8:9",
+        "999.999.999.999", "not an ip"))
+      assert(errsFor(bad).contains("ip_format"), s"'$bad' must be rejected")
+  }
+
+  test("nationality ID parity: non-11-digit IDs pass on the 5..50 envelope") {
+    def errsFor(id: String): Set[String] = AccessLog.validate(parse(
+      row("nationalityId" -> id))).head()
+      .getAs[scala.collection.Seq[String]]("errors").toSet
+    // 9-char foreign ID: valid in the reference (length 5..50 fallback)
+    assert(!errsFor("AB1234567").contains("nationality_id_checksum"))
+    assert(!errsFor("PASS-12345-XYZ").contains("nationality_id_checksum"))
+    // envelope violations
+    assert(errsFor("abcd").contains("nationality_id_checksum")) // len 4
+    assert(errsFor("x" * 51).contains("nationality_id_checksum"))
+    // 11 digits still demand the checksum
+    assert(errsFor("12345678901").contains("nationality_id_checksum"))
+  }
+
+  test("Turkish checksum uses C# signed %: negative first check digit always rejects") {
+    // oddSum=1, evenSum=26 -> C#: (7-26)%10 = -9 (never equals d10);
+    // pmod would yield 1 and wrongly accept this ID (d10=1, d11 consistent)
+    val id = "19090800018"
+    val errs = AccessLog.validate(parse(row("nationalityId" -> id))).head()
+      .getAs[scala.collection.Seq[String]]("errors").toSet
+    assert(errs.contains("nationality_id_checksum"),
+      "negative-remainder ID must be rejected like the reference")
+  }
+
+  test("port validated on the raw string (BeValidPort): non-numeric rejects") {
+    def errsFor(p: String): Set[String] = AccessLog.validate(parse(
+      row("port" -> p))).head().getAs[scala.collection.Seq[String]]("errors").toSet
+    assert(errsFor("abc").contains("port_range"), "non-numeric port must violate")
+    assert(errsFor("12345678901").contains("port_range"), "length cap 10")
+    assert(errsFor("0").contains("port_range"))
+    assert(!errsFor("65535").contains("port_range"))
+    assert(!errsFor("").contains("port_range"), "null port passes (optional field)")
+  }
+
+  test("transaction_time future bound mirrors timestamp_future") {
+    val errs = AccessLog.validate(parse(
+      row("transactionTime" -> "2099-01-01T00:00:00"))).head()
+      .getAs[scala.collection.Seq[String]]("errors").toSet
+    assert(errs.contains("transaction_time_future"))
+    assert(!errs.contains("timestamp_future"))
+  }
+
   test("soft warnings: long passage, time drift, unusual port, nulls") {
     val w = AccessLog.validate(parse(row(
       "passageDuration" -> "301", "port" -> "80",

@@ -13,6 +13,34 @@ class MainSpec extends SparkSuite {
       Main.configFromEnv(Map("GRAFT_TOPK" -> "0"))) // settings validator battery
   }
 
+  test("ES index-name validation mirrors the reference's rule list") {
+    import graft.config.IndexNaming._
+    // accepted (MigrationSettingsValidator.cs:114-144)
+    assert(valid("logs-2024"))
+    assert(valid("graft_index_ab12")) // non-leading underscore is fine
+    assert(valid("a" * 255))
+    // rejected, one rule each
+    assert(violations("").nonEmpty)
+    assert(violations("a" * 256).exists(_.contains("255")))
+    assert(violations(".").nonEmpty && violations("..").nonEmpty)
+    assert(violations("-lead").nonEmpty && violations("_lead").nonEmpty &&
+      violations("+lead").nonEmpty)
+    for (c <- Seq('\\', '/', '*', '?', '"', '<', '>', '|', ' ', ',', '#'))
+      assert(violations(s"ab${c}cd").nonEmpty, s"char '$c' must be invalid")
+    assert(violations("Uppercase").exists(_.contains("lowercase")))
+  }
+
+  test("config echo masks credentials (ConsoleLogger.MaskPassword semantics)") {
+    assert(Main.maskSecrets("Host=h;Password=hunter2;Db=x") ===
+      "Host=h;Password=***;Db=x")
+    assert(Main.maskSecrets("PASSWORD = abc") === "PASSWORD = ***")
+    val echo = Main.configEcho(Map(
+      "GRAFT_TOPK" -> "25", "GRAFT_API_KEY" -> "s3cr3t", "OTHER" -> "x"))
+    assert(echo.contains("GRAFT_TOPK=25"))
+    assert(echo.contains("GRAFT_API_KEY=***"))
+    assert(!echo.contains("s3cr3t") && !echo.contains("OTHER"))
+  }
+
   test("dry-run analyzer reports corpus stats and the go/no-go gate") {
     val r = Main.analyze(spark, "/root/testdata/sf0.001/documents.parquet").head()
     assert(r.getAs[Long]("total_docs") === 500)

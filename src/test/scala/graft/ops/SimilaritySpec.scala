@@ -82,4 +82,21 @@ class SimilaritySpec extends SparkSuite {
     val p = Similarity.planes(8, 64)
     assert(p.flatten.forall(v => v >= -1.0 && v <= 1.0))
   }
+
+  test("native cosine expression is bit-equal to the interpreted HOF form") {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Similarity.cosineCol(col("qv"), col("v")).as("native"),
+        Similarity.cosineColHof(col("qv"), col("v")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+  }
 }

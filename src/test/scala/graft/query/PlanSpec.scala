@@ -31,4 +31,58 @@ class PlanSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"postings must be shuffle-free:\n$plan")
   }
+
+  // Round-2 guards: no global-window top-k anywhere. A Window.orderBy
+  // without partitionBy (or a per-qid window over unbounded candidates)
+  // plans an `Exchange SinglePartition` — the one operator shape that
+  // flatly dies at 100x corpus. None of the ranking paths may produce it.
+
+  test("similarity top-k plans as TakeOrderedAndProject, no single-partition exchange") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.ops.Similarity
+      .topKPlanned(graft.ops.Similarity.cosineScored(emb, 0L), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps + driver merge:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no single-partition exchange in similarity ranking:\n$plan")
+  }
+
+  test("BM25 ranking is a bounded top-k aggregation — no window, no single-partition exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(false, true).foreach { conj =>
+      val plan = BM25.topK(spark, docs, col("doc_id"), col("text"),
+        SparkEntry.FtQuerySet, conjunctive = conj)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"no single-partition exchange in BM25 ranking (conj=$conj):\n$plan")
+      assert(!plan.contains("Window"),
+        s"per-qid ranking must not be a window sort (conj=$conj):\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"bounded top-k aggregation expected in plan (conj=$conj):\n$plan")
+    }
+  }
+
+  test("phrase path: no window rank, no single-partition exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = BM25.phraseTopK(spark, docs, col("doc_id"), col("text"),
+      SparkEntry.PhraseQuerySet).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), s"phrase ranking:\n$plan")
+    assert(!plan.contains("Window"), s"phrase ranking must not window-sort:\n$plan")
+  }
+
+  test("phrase candidates scan the corpus once per distinct phrase length, not per phrase") {
+    import graft.analyze.CodeTokenizer
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val analyzed = SparkEntry.PhraseQuerySet
+      .map { case (q, t) => (q, CodeTokenizer.tokenize(t).toSeq) }
+      .filter(_._2.nonEmpty)
+    val distinctLens = analyzed.map(_._2.length).distinct.size
+    assert(distinctLens < analyzed.size, "fixture must mix phrase lengths")
+    val plan = BM25.phraseCandidates(docs, col("doc_id"), col("text"), analyzed)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllMatchIn(plan).size
+    assert(scans == distinctLens,
+      s"expected $distinctLens corpus scans (one per distinct m), got $scans:\n$plan")
+  }
 }

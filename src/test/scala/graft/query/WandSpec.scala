@@ -83,6 +83,43 @@ class WandSpec extends SparkSuite {
     }
   }
 
+  test("hot term never pins its full postings in one task (bounded per-task fan-in)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wand_hot_").toString
+    try {
+      // one stopword-class term in EVERY doc; segment rows cap at
+      // blockSize x 256 = 4096 postings, so the hot term spans >= 8 rows,
+      // each covering a narrow contiguous doc range
+      val c = cfg.copy(shards = 2, blockSize = 16,
+        saltTargetPostings = 64, serveDocRanges = 8)
+      val nDocs = 32768L
+      val docs = spark.range(0L, nDocs, 1L, 8).toDF("doc_id")
+        .selectExpr("doc_id",
+          "concat('hotword filler', doc_id % 97, ' pad', doc_id % 31) AS text")
+      SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, c)
+      SegmentBuilder.buildAll(spark, dir, c)
+      val acc = spark.sparkContext.collectionAccumulator[java.lang.Long]("taskPostings")
+      val handle = new Wand.Handle(spark, dir, c)
+      val hits = handle.topK(Seq(1 -> "hotword"), acc).collect()
+      handle.close()
+      assert(hits.length === c.topK)
+      // rank-identical to the oracle even under range fan-out
+      val docsLocal = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val oracle = NaiveBM25.topK(docsLocal, "hotword", c.topK, c.k1, c.b)
+        .map(h => (h.docId, h.score))
+      val got = hits.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(got === oracle)
+      // the term fans out across many tasks and no task pins more than a
+      // fraction of its postings (row/boundary granularity allows slack;
+      // the failure mode being guarded is ONE task holding ALL of it)
+      val perTask = acc.value
+      assert(perTask.size >= 4, s"expected >=4 range tasks, got ${perTask.size}")
+      val maxTask = perTask.toArray.map(_.asInstanceOf[java.lang.Long].longValue).max
+      assert(maxTask <= nDocs / 2,
+        s"a task pinned $maxTask of $nDocs hot postings — fan-out failed")
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("ties break deterministically under WAND (duplicate docs)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_wand_tie_").toString
