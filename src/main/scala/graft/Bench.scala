@@ -29,10 +29,11 @@ object Bench {
   private val HeadlineQueries = Seq(
     "q1_agg", "q3_topk", "q_count_lineitem", "q_topk_events", "q_dedup_latest",
     "q_antijoin", "q_validation_counts", "q_warnings_top", "q_sample_head",
-    "q_window_running", "q_rollup", "q_distinct", "q_ts_coercion",
-    "ft_postings", "ft_df", "ft_bm25_topk", "ft_bm25_conj", "ft_wand_topk",
-    "ing_docmap", "dd_exact", "dd_minhash_lsh", "sim_cosine_topk",
-    "sim_ann_topk", "sim_ivf_topk",
+    "q_window_running", "q_rollup", "q_distinct", "q_set_ops",
+    "q_approx_distinct", "q_sessionize", "q_ts_coercion",
+    "ft_postings", "ft_df", "ft_bm25_topk", "ft_bm25_conj", "ft_phrase",
+    "ft_wand_topk", "ing_docmap", "dd_exact", "dd_minhash_lsh", "dd_simhash",
+    "sim_cosine_topk", "sim_ann_topk", "sim_ivf_topk",
     "txt_quality", "txt_tokens", "txt_fingerprint", "txt_langid", "mm_features")
 
   private def session(master: String, shufflePartitions: Int): SparkSession = {
@@ -95,6 +96,31 @@ object Bench {
     }
   }
 
+  /** Best-of-2 per query; failures are COLLECTED AND FATAL, never
+    * silently dropped from the headline total (a query that starts
+    * throwing must fail the bench, not make it look faster). */
+  def timeQueries(spark: SparkSession, sfDir: String, names: Seq[String],
+                  queries: Map[String, (SparkSession, String) => DataFrame])
+      : (Seq[(String, Double)], Seq[(String, String)]) = {
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val times = names.map { name =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // best-of-2: single samples on time-shared vCPUs are noisy
+      try name -> math.min(once(), once())
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          failures += name -> e.toString.replaceAll("[\"\\n]", " ").take(200)
+          name -> -1.0
+      }
+    }
+    (times, failures.toList)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -105,20 +131,9 @@ object Bench {
     val spark = session(s"local[$cpus]", cpus.toInt)
     val metrics = Metrics.attach(spark)
     val queries = SparkEntry.queries
-    val results = (if (skipQueries) Seq.empty[String]
-                   else HeadlineQueries.filter(queries.contains)).map { name =>
-      // best-of-2: single samples on time-shared vCPUs are noisy
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
-      }
-      val a = once()
-      val b = if (a < 0) a else math.min(a, once())
-      name -> b
-    }
+    val (results, failures) = timeQueries(spark, sfDir,
+      if (skipQueries) Seq.empty[String] else HeadlineQueries.filter(queries.contains),
+      queries)
     spark.stop()
 
     // 1b. serving throughput: repeated WAND top-10 batches against the
@@ -140,22 +155,33 @@ object Bench {
     }
 
     // 2. scaling evidence: same indexing job at N and 4N cores (the
-    // sandbox stand-in for N vs 4N executors — see BASELINE.md)
+    // sandbox stand-in for N vs 4N executors — see BASELINE.md). The
+    // scaling corpus is 2x the headline corpus (default 2M docs): the
+    // engine indexes >70k docs/s at 8 cores, so anything smaller lets
+    // fixed driver overhead (job submission, manifest commits) distort
+    // the N-vs-4N ratio.
     val scaleN = sys.env.getOrElse("GRAFT_SCALE_N", "2").toInt
-    val (n2, s2) = scalingRun(s"local[$scaleN]", sfDir, replicas, samples = 2)
-    val (n8, s8) = scalingRun(s"local[${scaleN * 4}]", sfDir, replicas, samples = 3)
+    val scaleReplicas = sys.env.getOrElse("GRAFT_SCALE_REPLICAS",
+      (replicas * 2).toString).toInt
+    val (n2, s2) = scalingRun(s"local[$scaleN]", sfDir, scaleReplicas, samples = 2)
+    val (n8, s8) = scalingRun(s"local[${scaleN * 4}]", sfDir, scaleReplicas, samples = 3)
     val thr2 = n2 / s2
     val thr8 = n8 / s8
     val eff = thr8 / (4.0 * thr2)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
+    val failed = failures.map { case (k, e) => "\"" + k + ": " + e + "\"" }
+      .mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""failed":$failed,""" +
         s""""indexing":{"docs":$n8,"secs":$s8,"docs_per_sec":${thr8.round}},""" +
         s""""wand_queries_per_sec":${math.rint(qps * 10) / 10},""" +
         s""""scaling":{"cores_n":$scaleN,"cores_4n":${scaleN * 4},"docs_per_sec_n":${thr2.round},""" +
         s""""docs_per_sec_4n":${thr8.round},"efficiency":${math.rint(eff * 1000) / 1000}},""" +
         s""""query_metrics":${metrics.json}}""")
+    // fail loud: any broken headline query fails the bench run
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -268,15 +268,20 @@ object OracleSql {
        |               JOIN sizes sb ON i.id_b = sb.doc_id)
        |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** mean_byte is computed over UTF-8 BYTES (hex-pair extraction from
+    * the encoded blob), matching the engine's byte-level features —
+    * ascii(char)/length(text) would diverge on any non-ASCII document. */
   private val mmFeatures =
-    """SELECT doc_id,
+    """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |                  octet_length(encode(text))::BIGINT AS nb FROM documents)
+      |SELECT doc_id,
       |  (['jpg','png','webp','wav'])[(doc_id % 4 + 1)::INT] AS format,
       |  (16 + (doc_id % 16) * 8)::INT AS width,
       |  (16 + (doc_id % 9) * 12)::INT AS height,
-      |  octet_length(encode(text))::BIGINT AS n_bytes,
-      |  printf('%.9f', list_sum(list_transform(range(1, length(text) + 1),
-      |    i -> ascii(substr(text, i::INT, 1))))::DOUBLE / length(text)) AS mean_byte
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |  nb AS n_bytes,
+      |  printf('%.9f', list_sum(list_transform(range(0, nb),
+      |    i -> ('0x' || substr(hx, (2*i+1)::INT, 2))::INT))::DOUBLE / nb) AS mean_byte
+      |FROM b ORDER BY doc_id""".stripMargin
 
   private val simCosineTopk =
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -404,8 +404,11 @@ object SparkEntry {
 
   /** MinHash+LSH near-dup detection with exact verification on the
     * candidate set — oracle is the exact-Jaccard SQL at the same
-    * threshold (banding at 16x4 over 64 hashes has ~1e-18 miss
-    * probability for this corpus's >0.9 near-dup pairs). */
+    * threshold. Banding derives from the threshold (Dedup.lshPlan:
+    * >=0.999 recall at J >= t+0.25); this corpus's near-dup pairs are
+    * all >0.9 where the 16x4 banding's miss probability is ~1e-18, so
+    * oracle equality is robust, and every emitted pair is verified
+    * exactly regardless. */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(tbl(s, dir, "documents"), col("doc_id"), col("text"), 0.5)
       .select(col("id_a"), col("id_b"),

@@ -14,6 +14,59 @@ import graft.config.EngineConfig
   * docId inside each build partition). */
 final case class PostingRec(term: String, salt: Int, doc_id: Long, tf: Long, doclen: Long)
 
+/** salt = floor(bucket(doc) * nsalts / Q): doc's quantile bucket
+  * (binary search over the Q-1 ascending corpus splits) scaled to the
+  * term's salt count. Monotone in doc_id, so every salted run is a
+  * contiguous doc range. Native expression with real codegen (it runs
+  * once per posting in the build's hot loop — a CodegenFallback boxed
+  * eval there is measurable at 10^7 postings, fatal at 10^12); Spark
+  * 4's ANSI mode also forbids the equivalent Column arithmetic's
+  * potential overflow, and a 256-way chained `when` would bloat
+  * generated code. */
+case class RangeSaltExpr(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                         right: org.apache.spark.sql.catalyst.expressions.Expression,
+                         boundaries: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+
+  /** Primitive hot path, shared by eval and generated code. */
+  def saltOf(d: Long, ns: Int): Int = {
+    var lo = 0; var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (boundaries(mid) <= d) lo = mid + 1 else hi = mid
+    }
+    ((lo.toLong * ns) / (boundaries.length + 1)).toInt
+  }
+
+  override def nullSafeEval(doc: Any, nsalts: Any): Any =
+    saltOf(doc.asInstanceOf[Long], nsalts.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("rangeSalt", this, classOf[RangeSaltExpr].getName)
+    nullSafeCodeGen(ctx, ev, (d, ns) => s"${ev.value} = $ref.saltOf($d, $ns);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): RangeSaltExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object RangeSaltExpr {
+  def saltCol(doc: org.apache.spark.sql.Column, nsalts: org.apache.spark.sql.Column,
+              boundaries: Array[Long]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.toColumn(RangeSaltExpr(
+      GraftColumnBridge.toExpression(doc), GraftColumnBridge.toExpression(nsalts), boundaries))
+  }
+}
+
 /** One compressed block (parquet-embedded struct). */
 final case class BlockRow(first_doc: Long, n: Int, deltas: Array[Byte],
                           tfs: Array[Byte], dls: Array[Byte], max_u: Double)
@@ -99,6 +152,16 @@ object SegmentBuilder {
       spark.read.parquet(s"$indexDir/docmap")
         .agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
+      // Doc-space quantile boundaries (tiny job over the docmap just
+      // written, overlapped with the postings pass): stage 1 salts hot
+      // terms by CONTIGUOUS doc-range bucket instead of doc hash, so
+      // every run covers a narrow doc span and serving can prune runs
+      // per doc-range. No per-shard sampling scans at build time.
+      spark.read.parquet(s"$indexDir/docmap")
+        .select(expr(s"approx_percentile(doc_id, array(${
+          (1 until QuantileBuckets).map(i => i.toDouble / QuantileBuckets).mkString(",")}))")
+          .as("splits"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/qsplits")
     }
     // Pass 2 — postings (shuffle-free: per-doc tf inside the tokenizer
     // expression), hash-partitioned by term shard for stage-1 pruning.
@@ -122,9 +185,17 @@ object SegmentBuilder {
     ()
   }
 
-  /** True iff a previous [[ingest]] ran to completion (both passes). */
+  /** True iff a previous [[ingest]] ran to completion (both passes plus
+    * the quantile-split table this layout version requires). */
   def ingestDone(indexDir: String): Boolean =
-    Files.exists(Paths.get(indexDir, "_ingested"))
+    Files.exists(Paths.get(indexDir, "_ingested")) &&
+      Files.exists(Paths.get(indexDir, "qsplits"))
+
+  /** Doc-space CDF resolution for range salting. */
+  val QuantileBuckets = 256
+
+  def readQsplits(spark: SparkSession, indexDir: String): Array[Long] =
+    spark.read.parquet(s"$indexDir/qsplits").head().getSeq[Long](0).toArray
 
   def readStats(spark: SparkSession, indexDir: String): (Long, Double) = {
     val r = spark.read.parquet(s"$indexDir/stats").head()
@@ -137,16 +208,15 @@ object SegmentBuilder {
     * postings, a few hundred KB compressed) independent of term df. */
   val BlocksPerRow = 256
 
-  /** Shard build: range-repartition on (term, doc_id) — Spark's range
-    * partitioner samples the shard and places balanced boundaries, so a
-    * hot (Zipfian) term splits across partitions AT DOC BOUNDARIES.
-    * Every run (salt = partition id) therefore covers a narrow
-    * CONTIGUOUS doc range, which is what lets the serving layer fan a
-    * query out per doc-range without shipping whole hot terms to every
-    * task (a hash-salted run would scatter its docs across the full
-    * corpus and overlap every serve range). Reducer balance comes from
-    * the sampler instead of a manual hot-term salt count; row size is
-    * additionally capped at blockSize x BlocksPerRow postings. */
+  /** Shard build: hot terms (df > saltTargetPostings) are salted by
+    * CONTIGUOUS doc-range bucket — a monotone map of doc_id through the
+    * corpus's quantile splits (qsplits, computed once at ingest) scaled
+    * to ceil(df/target) salts. Balance matches the corpus doc
+    * distribution (a stopword-class hot term IS corpus-distributed:
+    * that's what makes it hot), with no per-shard sampling scans; and
+    * unlike a doc-HASH salt, every run covers a narrow contiguous doc
+    * span, which is what lets the serving layer fan a query out per
+    * doc-range without shipping whole hot terms to every task. */
   def buildShard(spark: SparkSession, indexDir: String, shard: Int,
                  cfg: EngineConfig): ShardManifest = {
     import spark.implicits._
@@ -155,23 +225,33 @@ object SegmentBuilder {
     val post = spark.read.parquet(s"$indexDir/postings")
       .filter(col("shard") === shard) // partition-pruned scan
 
+    // hot-term detection: df per term (map-side-combined agg), keep only
+    // the few terms needing >1 salt — broadcastable by construction
+    val hot = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cfg.saltTargetPostings)
+      .withColumn("nsalts",
+        least(ceil(col("df").cast("double") / cfg.saltTargetPostings),
+          lit(QuantileBuckets.toLong)).cast("int"))
+      .select("term", "nsalts")
+
+    val splits = readQsplits(spark, indexDir)
+    val salted = post.join(broadcast(hot), Seq("term"), "left")
+      .withColumn("salt",
+        when(col("nsalts").isNull, lit(0))
+          .otherwise(RangeSaltExpr.saltCol(col("doc_id"), col("nsalts"), splits)))
+      .select(col("term"), col("salt"), col("doc_id"),
+        col("tf").cast("long").as("tf"), col("doclen").cast("long").as("doclen"))
+
     val postingsAcc = spark.sparkContext.longAccumulator(s"postings_$shard")
     val bytesAcc = spark.sparkContext.longAccumulator(s"bytes_$shard")
     val segRowsAcc = spark.sparkContext.longAccumulator(s"segrows_$shard")
 
-    val blockSize = cfg.blockSize; val k1 = cfg.k1; val b = cfg.b
-    val segments = post
-      .select(col("term"), col("doc_id"),
-        col("tf").cast("long").as("tf"), col("doclen").cast("long").as("doclen"))
-      .repartitionByRange(cfg.buildPartitions, col("term"), col("doc_id"))
-      .sortWithinPartitions("term", "doc_id")
-      .as[(String, Long, Long, Long)]
+    val segments = salted
+      .repartition(cfg.buildPartitions, col("term"), col("salt"))
+      .sortWithinPartitions("term", "salt", "doc_id")
+      .as[PostingRec]
       .mapPartitions { it =>
-        // runs of one term in different partitions are doc-disjoint
-        // contiguous ranges; the partition id distinguishes them
-        val salt = org.apache.spark.TaskContext.getPartitionId()
-        encodeRuns(it.map { case (t, d, tf, dl) => PostingRec(t, salt, d, tf, dl) },
-          blockSize, BlocksPerRow, k1, b, avgdl,
+        encodeRuns(it, cfg.blockSize, BlocksPerRow, cfg.k1, cfg.b, avgdl,
           postingsAcc, bytesAcc, segRowsAcc)
       }
 

@@ -39,14 +39,28 @@ object Dedup {
       .agg(min(idCol.cast("long")).as("doc_id"), count(lit(1)).as("copies"))
       .select("doc_id", "copies", "fp")
 
-  /** MinHash signatures: numHashes permutations approximated by seeded
-    * xxhash64 over each shingle; one hash-aggregation, no UDF. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
-    sh.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+  /** MinHash signatures straight from the per-doc shingle array — one
+    * narrow map ([[MinHashSigExpr]]), no explode, no shuffle. Input
+    * needs (doc_id, sh: array&lt;string&gt;). */
+  def minhashSignatures(docsWithShingles: DataFrame, numHashes: Int): DataFrame =
+    docsWithShingles.select(col("doc_id"),
+      MinHashSigExpr.sigCol(col("sh"), numHashes).as("sig"))
+
+  /** (bands, rowsPerBand) derived from the requested threshold: the
+    * largest rowsPerBand r (fewest false candidates) whose candidate
+    * recall 1-(1-J^r)^b is >= 0.99 at jDetect = min(0.95, t + 0.25).
+    * Contract: pairs at J >= jDetect are found essentially always;
+    * pairs in [t, jDetect) surface with probability 1-(1-J^r)^b and are
+    * verified exactly when found (output precision is always 1 — the
+    * exact-Jaccard verification step filters every candidate). */
+  def lshPlan(threshold: Double, numHashes: Int): (Int, Int) = {
+    require(threshold > 0 && threshold <= 1, s"threshold out of range: $threshold")
+    val jDetect = math.min(0.95, threshold + 0.25)
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    val r = divisors.reverse.find { r =>
+      1.0 - math.pow(1.0 - math.pow(jDetect, r), (numHashes / r).toDouble) >= 0.99
+    }.getOrElse(1)
+    (numHashes / r, r)
   }
 
   /** LSH banding: candidate pairs sharing any (band, band-hash) bucket.
@@ -62,32 +76,30 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash+LSH near-dup pipeline: candidates from banding, then
-    * exact-Jaccard verification restricted to candidates. */
+  /** Full MinHash+LSH near-dup pipeline: per-doc signatures (narrow
+    * map), banded bucket self-join for candidates, exact set-Jaccard
+    * verification via array_intersect on the candidates' shingle
+    * arrays. Three light shuffles total (band self-join + two candidate
+    * joins back to arrays); never the O(n^2) pair space, never a
+    * corpus-wide exploded-shingle aggregation. Banding (bands,
+    * rowsPerBand) is derived from `threshold` — see [[lshPlan]]. */
   def minhashNearDups(docs: DataFrame, idCol: Column, contentCol: Column,
-                      threshold: Double, numHashes: Int = 64,
-                      bands: Int = 16): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sh = shingleTable(docs, idCol, contentCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val cand = lshCandidates(minhashSignatures(sh, numHashes), bands, rowsPerBand)
-      val shA = sh.select(col("doc_id").as("id_a"), col("shingle"))
-      val shB = sh.select(col("doc_id").as("id_b"), col("shingle"))
-      val inter = cand.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val out = inter
-        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-      // materialize before releasing the shingle cache
-      out.localCheckpoint(eager = true)
-    } finally sh.unpersist()
+                      threshold: Double, numHashes: Int = 64): DataFrame = {
+    val (bands, rowsPerBand) = lshPlan(threshold, numHashes)
+    val base = docs.select(idCol.cast("long").as("doc_id"),
+      shinglesCol(CodeTokenizer.tokensColFast(contentCol)).as("sh"))
+    val cand = lshCandidates(minhashSignatures(base, numHashes), bands, rowsPerBand)
+    // exact verification on candidates only: set semantics via distinct
+    // arrays; a 0-shingle doc yields 0/0 = null and is filtered out
+    val arrs = base.select(col("doc_id"), array_distinct(col("sh")).as("shs"))
+    cand
+      .join(arrs.select(col("doc_id").as("id_a"), col("shs").as("sh_a")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("shs").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   // --- SimHash ---------------------------------------------------------------

@@ -114,29 +114,55 @@ object Similarity {
 
   // --- IVF (inverted-file) ANN ---------------------------------------------------
 
+  private[ops] def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Distributed Lloyd k-means over the embedding column: deterministic
+    * init (the `nlist` lowest vec_ids), then `iters` rounds of
+    * assign (narrow map) + per-dimension mean (posexplode + hash agg —
+    * nlist x dims groups, map-side combined). Everything the executors
+    * touch is a narrow map or a bounded aggregation; only nlist x dims
+    * doubles ever reach the driver per round. */
+  def kmeansCentroids(e: DataFrame, nlist: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var cents: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](2).toArray) }
+    val ds = e.as[(Long, Int, Array[Double])]
+    for (_ <- 1 to iters) {
+      val bc = cents
+      val means = ds.map { case (_, _, v) => (bc.maxBy(c => cos(c._2, v))._1, v) }
+        .toDF("list", "v")
+        .select(col("list"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("list", "dim").agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+      cents = cents.map { case (i, old) =>
+        i -> means.get(i)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)))
+          .getOrElse(old) // empty cluster keeps its centroid
+      }
+    }
+    cents
+  }
+
   /** IVF-flat: assign every vector to its nearest of `nlist` coarse
-    * centroids, probe the `nprobe` centroids nearest the query, rank
-    * candidates by exact cosine. Centroids here are a deterministic
-    * sample of the corpus (vec_id ascending) — at production scale the
-    * sample would be k-means-refined, which changes recall, not the
-    * Spark plumbing: one narrow assignment map, a groupBy-free
-    * bucket filter, exact verification on candidates.
+    * k-means centroids ([[kmeansCentroids]] — deterministic init,
+    * distributed Lloyd refinement), probe the `nprobe` centroids
+    * nearest the query, rank candidates by exact cosine: one narrow
+    * assignment map, a groupBy-free bucket filter, exact verification
+    * on candidates.
     */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = embeddings.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
-    // deterministic coarse centroids: the nlist lowest vec_ids
-    val centroids: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(nlist)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](2).toArray) }
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    val centroids = kmeansCentroids(e, nlist, kmeansIters)
     val assigned = e.as[(Long, Int, Array[Double])].map { case (id, label, v) =>
       val list = centroids.maxBy(c => cos(c._2, v))._1
       (id, label, v, list)

@@ -69,9 +69,21 @@ class DedupSpec extends SparkSuite {
     assert(got === truth)
   }
 
+  test("lsh banding is derived from the threshold with a recall contract") {
+    // t=0.5 -> detect at 0.75 with >=0.999 recall -> 16 bands x 4 rows
+    assert(Dedup.lshPlan(0.5, 64) === ((16, 4)))
+    // higher thresholds afford longer bands (fewer false candidates)
+    assert(Dedup.lshPlan(0.9, 64) === ((8, 8)))
+    // very low thresholds need shorter bands for recall
+    val (b, r) = Dedup.lshPlan(0.1, 64)
+    assert(b * r === 64 && r <= 2)
+  }
+
   test("minhash signature similarity approximates jaccard") {
     val sh = Dedup.shingleTable(corpus, col("doc_id"), col("text"))
-    val sigs = Dedup.minhashSignatures(sh, 64).collect()
+    val base = corpus.select(col("doc_id"),
+      Dedup.shinglesCol(graft.analyze.CodeTokenizer.tokensColFast(col("text"))).as("sh"))
+    val sigs = Dedup.minhashSignatures(base, 64).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val shLocal = sh.collect().map(r => (r.getLong(0), r.getString(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
