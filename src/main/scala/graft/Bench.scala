@@ -32,8 +32,9 @@ object Bench {
     "q_window_running", "q_rollup", "q_distinct", "q_set_ops",
     "q_approx_distinct", "q_sessionize", "q_ts_coercion",
     "ft_postings", "ft_df", "ft_bm25_topk", "ft_bm25_conj", "ft_phrase",
-    "ft_wand_topk", "ing_docmap", "dd_exact", "dd_minhash_lsh", "dd_simhash",
-    "sim_cosine_topk", "sim_ann_topk", "sim_ivf_topk",
+    "ft_wand_topk", "ing_docmap", "dd_exact", "dd_minhash_lsh", "dd_cluster",
+    "dd_simhash", "sim_cosine_topk", "sim_batch_topk", "sim_ann_topk",
+    "sim_ivf_topk",
     "txt_quality", "txt_tokens", "txt_fingerprint", "txt_langid", "mm_features")
 
   private def session(master: String, shufflePartitions: Int): SparkSession = {

@@ -247,11 +247,10 @@ object OracleSql {
     """SELECT min(doc_id) AS doc_id, count(*) AS copies, md5(text) AS fp
       |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 
-  /** Exact word-3-gram pairwise Jaccard at `threshold` — the oracle for
-    * both the exact pipeline and the MinHash+LSH pipeline (whose exact
-    * verification on candidates recovers the same pair set). */
-  private def ddJaccard(threshold: Double) =
-    s"""WITH $toksCte,
+  /** CTE chain ending in jpairs(id_a, id_b, jaccard): exact word-3-gram
+    * pairwise Jaccard at `threshold`. */
+  private def ddPairsCtes(threshold: Double) =
+    s"""$toksCte,
        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tokens) - 1, 1)),
        |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
@@ -260,13 +259,39 @@ object OracleSql {
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, printf('%.9f', jaccard) AS jaccard FROM (
-       |  SELECT id_a, id_b,
-       |    i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) AS jaccard
-       |  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
-       |               JOIN sizes sb ON i.id_b = sb.doc_id)
-       |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+       |  GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT id_a, id_b,
+       |      i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) AS jaccard
+       |    FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+       |                 JOIN sizes sb ON i.id_b = sb.doc_id)
+       |  WHERE jaccard >= $threshold)""".stripMargin
+
+  /** Exact word-3-gram pairwise Jaccard at `threshold` — the oracle for
+    * both the exact pipeline and the MinHash+LSH pipeline (whose exact
+    * verification on candidates recovers the same pair set). */
+  private def ddJaccard(threshold: Double) =
+    s"""WITH ${ddPairsCtes(threshold)}
+       |SELECT id_a, id_b, printf('%.9f', jaccard) AS jaccard
+       |FROM jpairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Near-dup clustering oracle: connected components of the exact
+    * Jaccard pair graph via a recursive min-label walk (every vertex
+    * labelled with the smallest reachable doc_id). */
+  private def ddCluster(threshold: Double) =
+    s"""WITH RECURSIVE ${ddPairsCtes(threshold)},
+       |verts(id) AS (SELECT id_a FROM jpairs UNION SELECT id_b FROM jpairs),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+       |          UNION ALL SELECT id_b, id_a FROM jpairs),
+       |walk(id, label) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+       |lab AS (SELECT id AS doc_id, min(label) AS canonical FROM walk GROUP BY 1),
+       |sz AS (SELECT canonical, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.doc_id, l.canonical, s.cluster_size
+       |FROM lab l JOIN sz s USING (canonical) ORDER BY l.doc_id""".stripMargin
 
   /** mean_byte is computed over UTF-8 BYTES (hex-pair extraction from
     * the encoded blob), matching the engine's byte-level features —
@@ -295,6 +320,24 @@ object OracleSql {
       |         row_number() OVER (ORDER BY cos DESC, vec_id) AS "rank" FROM sc)
       |SELECT "rank", vec_id, label, printf('%.4f', cos) AS cos
       |FROM rk WHERE "rank" <= 10 ORDER BY "rank"""".stripMargin
+
+  /** Batch cosine top-10 per query vector; same cos arithmetic as
+    * simCosineTopk, ranked per qid. */
+  private def simBatchTopk: String = {
+    val ids = SparkEntry.SimQueryIds.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ($ids)),
+       |sc AS (SELECT q.qid, e.vec_id, e.label,
+       |    list_sum(list_transform(range(1, len(e.v) + 1), i -> q.qv[i] * e.v[i])) /
+       |      (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+       |       sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+       |  FROM e CROSS JOIN q),
+       |rk AS (SELECT qid, vec_id, label, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS "rank"
+       |       FROM sc)
+       |SELECT qid, "rank", vec_id, label, printf('%.4f', cos) AS cos
+       |FROM rk WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin
+  }
 
   private val txtQuality =
     s"""WITH t AS (SELECT doc_id, text,
@@ -368,7 +411,9 @@ object OracleSql {
     "dd_exact"            -> ddExact,
     "dd_ngram_jaccard"    -> ddJaccard(0.06),
     "dd_minhash_lsh"      -> ddJaccard(0.5),
+    "dd_cluster"          -> ddCluster(0.5),
     "sim_cosine_topk"     -> simCosineTopk,
+    "sim_batch_topk"      -> simBatchTopk,
     "mm_features"         -> mmFeatures,
     "txt_quality"         -> txtQuality,
     "txt_tokens"          -> txtTokens,

@@ -415,6 +415,23 @@ object SparkEntry {
         format_string("%.9f", col("jaccard")).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clustering: MinHash+LSH pairs -> connected components ->
+    * one row per clustered doc with its canonical (min) doc_id and the
+    * cluster size. Oracle: recursive min-label walk over the exact
+    * Jaccard pair graph at the same threshold. */
+  private def qDedupCluster(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(tbl(s, dir, "documents"), col("doc_id"), col("text"), 0.5)
+      .orderBy("doc_id")
+
+  /** Batch query-vector search: exact cosine top-10 per query vector
+    * via the bounded per-key top-k aggregation (no per-query window). */
+  val SimQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+  private def qSimBatch(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopKBatch(tbl(s, dir, "embeddings"), SimQueryIds, 10)
+      .select(col("qid"), col("rank"), col("vec_id"), col("label"),
+        format_string("%.4f", col("cos")).as("cos"))
+      .orderBy("qid", "rank")
+
   /** SimHash signatures (64-bit, FNV-1a bit votes). Candidate pairing is
     * tested in DedupSpec; signatures are engine-specific (rows-only check). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
@@ -525,8 +542,10 @@ object SparkEntry {
     "dd_exact"            -> (qDedupExact _),
     "dd_ngram_jaccard"    -> (qNgramJaccard _),
     "dd_minhash_lsh"      -> (qMinhashLsh _),
+    "dd_cluster"          -> (qDedupCluster _),
     "dd_simhash"          -> (qSimhash _),
     "sim_cosine_topk"     -> (qCosineTopk _),
+    "sim_batch_topk"      -> (qSimBatch _),
     "sim_ann_topk"        -> (qAnnTopk _),
     "mm_features"         -> (qMmFeatures _),
     "txt_quality"         -> (qTxtQuality _),

@@ -102,6 +102,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected near-dup edge list
+    * (id_a, id_b): iterative min-label propagation — every vertex ends
+    * labelled with the smallest doc_id reachable from it (the cluster's
+    * canonical document). Each round is one join + one min-aggregation
+    * over the EDGE set (never the corpus); rounds needed = graph
+    * diameter (near-dup clusters are shallow — a handful of rounds).
+    * At larger diameters the same loop admits the classic
+    * large-star/small-star contraction; the fixpoint contract is
+    * identical. Output: (doc_id, canonical) for every vertex of the
+    * edge list, canonical = min doc_id of its component. */
+  def components(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(eager = true)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        // propagate: each vertex offers its label to its neighbors
+        val proposed = sym.join(labels, sym("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+          .unionAll(labels)
+          .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint(eager = true) // truncate per-round lineage
+        val changed = proposed.as("n").join(labels.as("o"), "id")
+          .filter(col("n.label") < col("o.label")).count()
+        labels = proposed
+        converged = changed == 0
+        round += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("canonical"))
+    } finally { sym.unpersist(); () }
+  }
+
+  /** Near-dup clusters at `threshold`: MinHash+LSH pairs, then
+    * connected components; one row per clustered doc with its
+    * canonical (min) doc_id and the cluster size. */
+  def nearDupClusters(docs: DataFrame, idCol: Column, contentCol: Column,
+                      threshold: Double, numHashes: Int = 64): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, contentCol, threshold, numHashes)
+    val comp = components(pairs.select("id_a", "id_b"))
+    val sizes = comp.groupBy("canonical").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "canonical")
+      .select(col("doc_id"), col("canonical"), col("cluster_size"))
+  }
+
   // --- SimHash ---------------------------------------------------------------
 
   /** FNV-1a 64-bit — tiny, deterministic, public-domain hash for the

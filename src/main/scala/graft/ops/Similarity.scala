@@ -70,6 +70,28 @@ object Similarity {
   def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame =
     rankTopK(cosineScored(embeddings, queryId), k)
 
+  /** Exact cosine top-k for a BATCH of query vectors: one broadcast of
+    * the query rows, one scored pass over the corpus, then the same
+    * bounded per-key top-k aggregation the BM25 ranker uses (map-side
+    * partial heaps; k rows per partition per query on the wire — never
+    * a per-query window sort). Labels rejoin via a broadcast of the
+    * <= nQ x k ranked rows. */
+  def cosineTopKBatch(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val ranked = e.crossJoin(broadcast(q))
+      .withColumn("cos", cosineCol(col("qv"), col("v")))
+      .groupBy("qid")
+      .agg(graft.query.TopKAgg.topK(k)(col("cos"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sd")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("sd.doc_id").as("vec_id"), col("sd.score").as("cos"))
+    broadcast(ranked).join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .select("qid", "rank", "vec_id", "label", "cos")
+  }
+
   // --- random-hyperplane LSH ----------------------------------------------------
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1)

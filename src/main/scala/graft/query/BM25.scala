@@ -83,7 +83,20 @@ object BM25 {
       .filter(_._2.nonEmpty)
     if (analyzed.isEmpty)
       return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
-    val candidates = phraseCandidates(docs, idCol, contentCol, analyzed)
+    // indexed prefilter: a doc can only contain the phrase if it
+    // contains ALL its terms — cheap conjunctive containment from the
+    // postings we already built, so the adjacency recheck below only
+    // tokenizes candidate docs, never the whole corpus
+    val pq = analyzed.flatMap { case (qid, ts) =>
+      val d = ts.distinct
+      d.map(t => (qid, t, d.size))
+    }.toDF("pqid", "term", "n_req")
+    val prefilter = post.join(broadcast(pq), "term")
+      .groupBy("pqid", "doc_id")
+      .agg(count(lit(1)).as("got"), first(col("n_req")).as("n_req"))
+      .filter(col("got") === col("n_req"))
+      .select(col("pqid"), col("doc_id"))
+    val candidates = phraseCandidates(docs, idCol, contentCol, analyzed, Some(prefilter))
     val qterms = analyzed
       .flatMap { case (qid, ts) =>
         val distinctSorted = ts.distinct.sorted
@@ -102,17 +115,30 @@ object BM25 {
     * intersected with every m-length phrase literal; matched phrases map
     * back to qids through a broadcast lookup. Output: (qid, doc_id). */
   def phraseCandidates(docs: DataFrame, idCol: Column, contentCol: Column,
-                       analyzed: Seq[(Int, Seq[String])]): DataFrame = {
+                       analyzed: Seq[(Int, Seq[String])],
+                       prefilter: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val byLen = analyzed.groupBy(_._2.length).toSeq.sortBy(_._1)
     byLen.map { case (m, group) =>
+      val qids = group.map(_._1)
+      // restrict the (expensive) tokenize+shingle recheck to docs that
+      // passed the indexed all-terms prefilter for some phrase of this
+      // length; semantically a pure pruning step (shingle containment
+      // implies term containment)
+      val base = prefilter match {
+        case Some(pf) =>
+          val ids = pf.filter(col("pqid").isin(qids: _*))
+            .select(col("doc_id").as("__cand_id")).distinct()
+          docs.join(ids, idCol.cast("long") === col("__cand_id"), "left_semi")
+        case None => docs
+      }
       val shingles = graft.ops.Dedup.shinglesColN(
         CodeTokenizer.tokensColFast(contentCol), m)
       val phraseLits = group.map(_._2.mkString(" ")).distinct
       val p2q = group.map { case (qid, ts) => (ts.mkString(" "), qid) }
         .toDF("phrase", "qid")
-      docs.select(idCol.cast("long").as("doc_id"),
+      base.select(idCol.cast("long").as("doc_id"),
           array_intersect(shingles, array(phraseLits.map(lit): _*)).as("hits"))
         .filter(size(col("hits")) > 0)
         .select(col("doc_id"), explode(col("hits")).as("phrase"))

@@ -74,6 +74,20 @@ object StreamOps {
         })
   }
 
+  /** Streaming exact dedup — the incremental counterpart of
+    * Dedup.exact: drop documents whose content hash was already seen
+    * within the watermark horizon. State stores only (hash, ts), never
+    * document payloads, and is evicted past the watermark — bounded
+    * regardless of stream length (an unbounded-horizon dedup at 10^12
+    * docs would need the batch pipeline's hash-agg instead). */
+  def dedupStream(docs: DataFrame, contentCol: Column, tsCol: Column,
+                  watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("__fp", md5(contentCol.cast("string")))
+      .withColumn("__ts", tsCol.cast("timestamp"))
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp", "__ts")
+
   /** Micro-batch incremental index ingest: append each micro-batch's
     * postings (shard-partitioned, same layout as SegmentBuilder stage 0)
     * — the streaming counterpart of the reference's batched inserts

@@ -79,6 +79,30 @@ class DedupSpec extends SparkSuite {
     assert(b * r === 64 && r <= 2)
   }
 
+  test("connected components: chains collapse to min id, clusters sized") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("near-dup clusters: canonical = min doc of each true near-dup component") {
+    val got = Dedup.nearDupClusters(corpus, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // canonical is always <= member id and a member of the same cluster set
+    got.foreach { case (id, canon, sz) =>
+      assert(canon <= id); assert(sz >= 2)
+    }
+    // doc 0 and its exact copies 2000/2001 share canonical 0
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(byId(2000L) === 0L && byId(2001L) === 0L)
+  }
+
   test("minhash signature similarity approximates jaccard") {
     val sh = Dedup.shingleTable(corpus, col("doc_id"), col("text"))
     val base = corpus.select(col("doc_id"),

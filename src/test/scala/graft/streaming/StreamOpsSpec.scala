@@ -53,6 +53,26 @@ class StreamOpsSpec extends SparkSuite {
     assert(u1.head.closed_reason === "gap")
   }
 
+  test("streaming exact dedup drops repeated content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def d(id: Long, text: String, sec: Long) =
+      (id, text, new java.sql.Timestamp(sec * 1000))
+    val out = StreamOps.dedupStream(
+      mem.toDS().toDF("doc_id", "text", "ts"), col("text"), col("ts"),
+      watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    mem.addData(d(1, "alpha beta", 0), d(2, "alpha beta", 5), d(3, "gamma", 10))
+    q.processAllAvailable()
+    mem.addData(d(4, "alpha beta", 20), d(5, "delta", 30))
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("deduped").collect().map(_.getString(1)).sorted
+    // "alpha beta" survives exactly once despite three arrivals
+    assert(texts === Array("alpha beta", "delta", "gamma"))
+  }
+
   test("incremental index ingest: postings accumulate across micro-batches") {
     val src = Files.createTempDirectory("stream_docs_").toString
     val idx = Files.createTempDirectory("stream_idx_").toString
