@@ -69,6 +69,28 @@ class SegmentBuilderSpec extends SparkSuite {
     } finally new Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("salted runs are doc-contiguous and pairwise disjoint (serving locality)") {
+    val dir = freshDir()
+    try {
+      buildIndex(dir)
+      val seg = spark.read.parquet(s"$dir/segments").as[Wide](Wide.enc).collect()
+      val multiRun = seg.groupBy(_.term).filter(_._2.map(_.salt).distinct.size > 1)
+      assert(multiRun.nonEmpty, "expected at least one salted hot term")
+      multiRun.foreach { case (term, rows) =>
+        val spans = rows.groupBy(_.salt).values.toSeq
+          .map(rs => (rs.map(_.first_doc).min, rs.map(_.last_doc).max))
+          .sortBy(_._1)
+        spans.sliding(2).foreach {
+          case Seq((_, hiA), (loB, _)) =>
+            assert(hiA < loB,
+              s"term '$term': salted runs overlap in doc space ($hiA >= $loB) — " +
+                "doc-range serving pruning would ship overlapping runs")
+          case _ =>
+        }
+      }
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("interrupted build resumes without recomputation and yields identical segments") {
     val dirA = freshDir(); val dirB = freshDir()
     try {
