@@ -115,7 +115,7 @@ object Bench {
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
-          failures += name -> e.toString.replaceAll("[\"\\n]", " ").take(200)
+          failures += name -> e.toString.take(200)
           name -> -1.0
       }
     }
@@ -172,7 +172,15 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    val failed = failures.map { case (k, e) => "\"" + k + ": " + e + "\"" }
+    // full JSON string escape — exception text can carry backslashes
+    // (regexes), tabs, quotes; a blacklist would emit invalid JSON
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val failed = failures.map { case (k, e) => "\"" + esc(s"$k: $e") + "\"" }
       .mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +

@@ -209,16 +209,23 @@ object AccessLog {
 
   val Ipv4Pattern = s"^$V4Body$$"
 
-  /** IPv6 (full, ::-compressed, link-local zone, IPv4-mapped/embedded
-    * tails) — mirrors what System.Net.IPAddress.TryParse accepts
+  /** IPv6 (full, ::-compressed, IPv4-mapped/embedded tails, optional
+    * %zone suffix on any form) — mirrors what
+    * System.Net.IPAddress.TryParse accepts
     * (AccessLogValidator.cs:168-174) except .NET's legacy IPv4
     * shorthand ("1" == 0.0.0.1), which we deliberately reject. */
   val Ipv6Pattern: String = {
     val h = "[0-9A-Fa-f]{1,4}"
-    s"^(($h:){7}$h|($h:){1,7}:|($h:){1,6}:$h|($h:){1,5}(:$h){1,2}|" +
-      s"($h:){1,4}(:$h){1,3}|($h:){1,3}(:$h){1,4}|($h:){1,2}(:$h){1,5}|" +
-      s"$h:((:$h){1,6})|:((:$h){1,7}|:)|[Ff][Ee]80:(:$h){0,4}%[0-9A-Za-z]+|" +
-      s"::([Ff]{4}(:0{1,4})?:)?$V4Body|($h:){1,4}:$V4Body)$$"
+    val body =
+      s"(($h:){7}$h|($h:){1,7}:|($h:){1,6}:$h|($h:){1,5}(:$h){1,2}|" +
+        s"($h:){1,4}(:$h){1,3}|($h:){1,3}(:$h){1,4}|($h:){1,2}(:$h){1,5}|" +
+        s"$h:((:$h){1,6})|:((:$h){1,7}|:)|" +
+        s"($h:){6}$V4Body|($h:){1,5}:$V4Body|" + // full + end-compressed v4 tails
+        // mid-compressed v4 tails: explicit groups + v4's 2 must stay <= 7
+        s"($h:)(:$h){1,4}:$V4Body|($h:){2}(:$h){1,3}:$V4Body|" +
+        s"($h:){3}(:$h){1,2}:$V4Body|($h:){4}(:$h):$V4Body|" +
+        s"::($h:){0,5}$V4Body)"                  // ::-leading v4 tail (incl. ::ffff:v4)
+    s"^$body(%[0-9A-Za-z._\\-]+)?$$"
   }
 
   /** Real IP validation, IPv4 and IPv6 (no colon-garbage passes). */

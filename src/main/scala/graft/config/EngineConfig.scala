@@ -39,7 +39,11 @@ final case class EngineConfig(
   require(shards >= 1 && shards <= 100000, s"shards out of range: $shards")
   require(buildPartitions >= 1, s"buildPartitions out of range: $buildPartitions")
   require(saltTargetPostings >= 16, s"saltTargetPostings too small: $saltTargetPostings")
-  require(serveDocRanges >= 1 && serveDocRanges <= 100000,
+  // cap matches realistic fan-out (~executor count) AND the serving
+  // layer's O(serveDocRanges) range-id fold — a deeper chained Catalyst
+  // expression would bloat codegen (use a binary-search expression like
+  // RangeSaltExpr before ever raising this)
+  require(serveDocRanges >= 1 && serveDocRanges <= 1024,
     s"serveDocRanges out of range: $serveDocRanges")
   require(minTokenLen >= 1 && maxTokenLen >= minTokenLen, "token length envelope invalid")
 }

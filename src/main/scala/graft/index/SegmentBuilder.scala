@@ -105,14 +105,21 @@ final case class ShardManifest(shard: Int, status: String, postings: Long,
   * interrupted build resumes without recomputation; shard output is
   * deterministic, so resume yields identical segments.
   *
-  * Skew (north_rule): stage 1 range-repartitions on (term, doc_id) —
-  * the range partitioner's sampler places balanced boundaries, so a
-  * Zipfian term splits across reducers at DOC boundaries instead of
-  * landing on one. Each resulting run (salt = partition id) covers a
-  * narrow contiguous doc range: the query layer treats each run as one
-  * more WAND cursor AND can prune runs by doc-range when fanning a
-  * query out (see Wand.Handle); [[Codec.mergeRuns]] k-way merges runs
-  * back when consolidating.
+  * Skew (north_rule): hot terms (df > saltTargetPostings) are salted
+  * by CONTIGUOUS doc-range bucket — a monotone map of doc_id through
+  * the corpus quantile splits (qsplits) scaled to ceil(df/target)
+  * salts — so a Zipfian term splits across reducers at DOC boundaries
+  * instead of landing on one, and every run covers a narrow doc span
+  * the serving layer can prune by range (see Wand.Handle). The range
+  * component is term-local (bucket offset within the term's own span)
+  * and each bucket hash-sub-splits when the salt demand exceeds the
+  * span, so per-run postings stay near the target for any df AND any
+  * doc-clustering (a term confined to one corpus bucket splits by
+  * hash). Residual caveat: a wide-span term whose density varies
+  * ACROSS buckets gets proportionally uneven runs — wall-clock skew
+  * only (the encoder streams, memory stays bounded, serve pruning
+  * works on row spans). [[Codec.mergeRuns]] k-way merges runs back
+  * when consolidating.
   */
 object SegmentBuilder {
 
@@ -123,6 +130,13 @@ object SegmentBuilder {
     * postings. */
   def ingest(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
              indexDir: String, cfg: EngineConfig = EngineConfig.default): Unit = {
+    // a RE-ingest over an existing index must invalidate the old
+    // completion marker FIRST: a crash mid-overwrite would otherwise
+    // leave mixed old/new data that ingestDone() reports as complete
+    {
+      val p = Paths.get(indexDir, "_ingested")
+      if (Files.exists(p)) Files.delete(p)
+    }
     // Defensive partitioning: tokenization is the dominant compute and
     // must never be bottlenecked by a coarse input layout (e.g. one fat
     // parquet file => one task). Cheap relative to the analyze/explode
@@ -192,7 +206,7 @@ object SegmentBuilder {
       Files.exists(Paths.get(indexDir, "qsplits"))
 
   /** Doc-space CDF resolution for range salting. */
-  val QuantileBuckets = 256
+  val QuantileBuckets = 1024
 
   def readQsplits(spark: SparkSession, indexDir: String): Array[Long] =
     spark.read.parquet(s"$indexDir/qsplits").head().getSeq[Long](0).toArray
@@ -225,20 +239,39 @@ object SegmentBuilder {
     val post = spark.read.parquet(s"$indexDir/postings")
       .filter(col("shard") === shard) // partition-pruned scan
 
-    // hot-term detection: df per term (map-side-combined agg), keep only
-    // the few terms needing >1 salt — broadcastable by construction
-    val hot = post.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cfg.saltTargetPostings)
-      .withColumn("nsalts",
-        least(ceil(col("df").cast("double") / cfg.saltTargetPostings),
-          lit(QuantileBuckets.toLong)).cast("int"))
-      .select("term", "nsalts")
-
+    // hot-term detection: df + doc-span per term (map-side-combined
+    // agg), keep only the few terms needing >1 salt — broadcastable by
+    // construction. The salt is TERM-LOCAL: range component = the doc's
+    // corpus-quantile bucket offset within the term's own [bmin, bmax]
+    // bucket span, hash component = sub-split of each bucket when the
+    // salt demand exceeds the span (monster terms AND doc-clustered hot
+    // terms both stay near the target; a sub-split run still spans only
+    // one quantile bucket, so serve-side range pruning keeps working).
     val splits = readQsplits(spark, indexDir)
+    def bucketIdx(c: org.apache.spark.sql.Column) =
+      RangeSaltExpr.saltCol(c, lit(QuantileBuckets), splits)
+    // needed salts ~ df/target; rs contiguous range pieces over the
+    // term's own bucket span (never MORE pieces than needed — a hot-ish
+    // term must not fragment into one run per bucket); hsalts hash
+    // sub-splits per piece when demand exceeds the span
+    val needed = ceil(col("df").cast("double") / cfg.saltTargetPostings)
+    val spanned = (bucketIdx(col("dmax")) - bucketIdx(col("dmin")) + lit(1)).cast("long")
+    val hot = post.groupBy("term").agg(count(lit(1)).as("df"),
+        min("doc_id").as("dmin"), max("doc_id").as("dmax"))
+      .filter(col("df") > cfg.saltTargetPostings)
+      .withColumn("bmin", bucketIdx(col("dmin")))
+      .withColumn("sp", spanned)
+      .withColumn("rs", least(needed.cast("long"), spanned))
+      .withColumn("hsalts", ceil(needed / least(needed, spanned.cast("double"))).cast("int"))
+      .select("term", "bmin", "sp", "rs", "hsalts")
+
+    val rangePiece = floor((bucketIdx(col("doc_id")) - col("bmin")).cast("long") *
+      col("rs") / col("sp")).cast("int")
     val salted = post.join(broadcast(hot), Seq("term"), "left")
       .withColumn("salt",
-        when(col("nsalts").isNull, lit(0))
-          .otherwise(RangeSaltExpr.saltCol(col("doc_id"), col("nsalts"), splits)))
+        when(col("bmin").isNull, lit(0))
+          .otherwise(rangePiece * col("hsalts") +
+            pmod(xxhash64(col("doc_id")), col("hsalts")).cast("int")))
       .select(col("term"), col("salt"), col("doc_id"),
         col("tf").cast("long").as("tf"), col("doclen").cast("long").as("doclen"))
 

@@ -86,20 +86,27 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: Column, contentCol: Column,
                       threshold: Double, numHashes: Int = 64): DataFrame = {
     val (bands, rowsPerBand) = lshPlan(threshold, numHashes)
-    val base = docs.select(idCol.cast("long").as("doc_id"),
-      shinglesCol(CodeTokenizer.tokensColFast(contentCol)).as("sh"))
-    val cand = lshCandidates(minhashSignatures(base, numHashes), bands, rowsPerBand)
-    // exact verification on candidates only: set semantics via distinct
-    // arrays; a 0-shingle doc yields 0/0 = null and is filtered out
-    val arrs = base.select(col("doc_id"), array_distinct(col("sh")).as("shs"))
-    cand
-      .join(arrs.select(col("doc_id").as("id_a"), col("shs").as("sh_a")), "id_a")
-      .join(arrs.select(col("doc_id").as("id_b"), col("shs").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // ONE tokenize+shingle pass over the corpus, cached as distinct
+    // arrays (MinHash is duplicate-blind, so signatures come off the
+    // distinct form too); all three consumers below reuse the cache
+    val arrs = docs.select(idCol.cast("long").as("doc_id"),
+        array_distinct(shinglesCol(CodeTokenizer.tokensColFast(contentCol))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = lshCandidates(minhashSignatures(arrs, numHashes), bands, rowsPerBand)
+      // exact verification on candidates only: set semantics; a
+      // 0-shingle doc yields 0/0 = null and is filtered out
+      val out = cand
+        .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+      // materialize the (small) verified pair set before releasing the cache
+      out.localCheckpoint(eager = true)
+    } finally { arrs.unpersist(); () }
   }
 
   /** Connected components over an undirected near-dup edge list
@@ -135,6 +142,12 @@ object Dedup {
         converged = changed == 0
         round += 1
       }
+      // fail loud: silently returning non-converged labels would split
+      // one true component into several with no signal
+      if (!converged)
+        throw new IllegalStateException(
+          s"components() did not converge within $maxRounds rounds — " +
+            "graph diameter exceeds the bound; raise maxRounds")
       labels.select(col("id").as("doc_id"), col("label").as("canonical"))
     } finally { sym.unpersist(); () }
   }

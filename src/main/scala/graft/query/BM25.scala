@@ -91,11 +91,15 @@ object BM25 {
       val d = ts.distinct
       d.map(t => (qid, t, d.size))
     }.toDF("pqid", "term", "n_req")
+    // materialized once (tiny: candidate ids only) — it is consumed by
+    // every distinct-phrase-length branch below and would otherwise
+    // re-run the postings scan per branch
     val prefilter = post.join(broadcast(pq), "term")
       .groupBy("pqid", "doc_id")
       .agg(count(lit(1)).as("got"), first(col("n_req")).as("n_req"))
       .filter(col("got") === col("n_req"))
       .select(col("pqid"), col("doc_id"))
+      .localCheckpoint(eager = true)
     val candidates = phraseCandidates(docs, idCol, contentCol, analyzed, Some(prefilter))
     val qterms = analyzed
       .flatMap { case (qid, ts) =>

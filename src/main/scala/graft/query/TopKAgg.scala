@@ -25,9 +25,14 @@ final case class ScoredDoc(score: Double, doc_id: Long)
 final class TopKByScore(k: Int)
     extends Aggregator[ScoredDoc, Seq[ScoredDoc], Seq[ScoredDoc]] {
 
-  /** a strictly better than b. */
-  @inline private def better(a: ScoredDoc, b: ScoredDoc): Boolean =
-    a.score > b.score || (a.score == b.score && a.doc_id < b.doc_id)
+  /** a strictly better than b. Double.compare (not `>`) keeps the order
+    * TOTAL for NaN (ranked above every double, like Spark's sort order
+    * and DuckDB's ORDER BY DESC) and distinguishes -0.0 < 0.0 — a
+    * non-total comparator would make results merge-order-dependent. */
+  @inline private def better(a: ScoredDoc, b: ScoredDoc): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.doc_id < b.doc_id)
+  }
 
   private def insert(buf: Seq[ScoredDoc], x: ScoredDoc): Seq[ScoredDoc] =
     if (buf.size >= k && !better(x, buf.last)) buf

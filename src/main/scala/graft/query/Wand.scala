@@ -144,7 +144,7 @@ object Wand {
     * the top-k (score, docId) best-first. Global top-k = merge of the
     * per-range lists (scores depend only on global stats, so every
     * range's local list is exact over its docs). */
-  def wandScores(rows: Array[QSegRow], dfMap: Map[String, Long],
+  def wandScores(rows: Array[QSegRow], dfMap: String => Long,
                  n: Long, avgdl: Double, k: Int, k1: Double, b: Double,
                  lo: Long = Long.MinValue,
                  hi: Long = Long.MaxValue): Seq[(Double, Long)] = {
@@ -282,31 +282,33 @@ object Wand {
       val allTerms = queries.flatMap { case (_, t) => CodeTokenizer.queryTerms(t) }.distinct
       if (allTerms.isEmpty)
         return spark.emptyDataset[Hit].toDF().orderBy("qid", "rank")
-      val dfMap: Map[String, Long] = dfTable.filter(col("term").isin(allTerms: _*))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val q2t = queries.flatMap { case (qid, t) => CodeTokenizer.queryTerms(t).map(qid -> _) }
         .toDF("qid", "term")
       val k = cfg.topK; val k1 = cfg.k1; val b = cfg.b
       val nL = n; val avg = avgdl
       val bounds = rangeBounds
-      val dfm = dfMap
       val acc = taskPostingsAcc
       // range id of a doc = number of boundaries <= doc (tiny fold, codegen'd)
       def ridOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         bounds.foldLeft(lit(0))((a, bd) => a + when(c >= bd, 1).otherwise(0))
+      // per-term df rides along via a broadcast join with the cached
+      // metadata table — no per-batch driver collect round-trip
       val ranged = seg.filter(col("term").isin(allTerms: _*)) // pushed to parquet row groups
         .join(broadcast(q2t), "term")
+        .join(broadcast(dfTable.filter(col("term").isin(allTerms: _*))), "term")
         .withColumn("rid",
           explode(sequence(ridOf(col("first_doc")), ridOf(col("last_doc")))))
-        .select(col("rid"), struct(col("qid"), col("term"), col("salt"),
+        .select(col("rid"), col("df"), struct(col("qid"), col("term"), col("salt"),
           col("row_seq"), col("n_postings"), col("first_doc"), col("last_doc"),
           col("max_u"), col("blocks")).as("row"))
-        .as[(Int, QSegRow)]
+        .as[(Int, Long, QSegRow)]
       val localHits = ranged
-        .groupByKey { case (rid, r) => (r.qid, rid) }
+        .groupByKey { case (rid, _, r) => (r.qid, rid) }
         .flatMapGroups { (key, it) =>
           val (qid, rid) = key
-          val rows = it.map(_._2).toArray
+          val withDf = it.toArray
+          val rows = withDf.map(_._3)
+          val dfm = withDf.map(t => t._3.term -> t._2).toMap
           if (acc != null) acc.add(rows.map(_.n_postings).sum)
           val lo = if (rid == 0) Long.MinValue else bounds(rid - 1)
           val hi = if (rid >= bounds.length) Long.MaxValue else bounds(rid)

@@ -124,12 +124,15 @@ class AccessLogSpec extends SparkSuite {
       row("ip" -> ip))).head().getAs[scala.collection.Seq[String]]("errors").toSet
     // accepted (IPAddress.TryParse-equivalent forms)
     for (ok <- Seq("10.0.0.1", "255.255.255.255", "2001:db8::1", "::1",
-        "fe80::1%eth0", "::ffff:192.168.1.1",
-        "2001:0db8:85a3:0000:0000:8a2e:0370:7334"))
+        "fe80::1%eth0", "::ffff:192.168.1.1", "2001:db8::1%eth0.1",
+        "2001:0db8:85a3:0000:0000:8a2e:0370:7334",
+        "1:2:3:4:5:6:1.2.3.4", "1:2:3:4:5::1.2.3.4", "1:2::3:1.2.3.4",
+        "::2:1.2.3.4"))
       assert(!errsFor(ok).contains("ip_format"), s"'$ok' must be a valid IP")
     // rejected — colon-containing garbage must NOT pass anymore
     for (bad <- Seq("abc:def:gg::zz", "12345::1", ":::", "1:2:3:4:5:6:7:8:9",
-        "999.999.999.999", "not an ip"))
+        "999.999.999.999", "not an ip", "fe80:%eth0",
+        "1:2:3:4::5:6:7:1.2.3.4"))
       assert(errsFor(bad).contains("ip_format"), s"'$bad' must be rejected")
   }
 

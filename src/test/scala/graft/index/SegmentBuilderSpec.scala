@@ -91,6 +91,57 @@ class SegmentBuilderSpec extends SparkSuite {
     } finally new Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("monster term beyond quantile resolution hash-sub-splits; runs stay near target") {
+    val dir = freshDir()
+    try {
+      // df = 20480, target 16 -> 1280 salts needed > 1024 buckets -> hsalts = 2
+      val c = cfg.copy(shards = 1, buildPartitions = 8, saltTargetPostings = 16)
+      val docs = spark.range(0L, 20480L, 1L, 8).toDF("doc_id")
+        .selectExpr("doc_id", "concat('monster pad', doc_id % 7) AS text")
+      SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, c)
+      SegmentBuilder.buildAll(spark, dir, c)
+      val runs = spark.read.parquet(s"$dir/segments")
+        .filter(col("term") === "monster")
+        .groupBy("salt").agg(sum("n_postings").as("n"))
+        .collect().map(_.getLong(1))
+      assert(runs.length > SegmentBuilder.QuantileBuckets,
+        s"expected hash sub-splits beyond the ${SegmentBuilder.QuantileBuckets} buckets, " +
+          s"got ${runs.length} runs")
+      // no run concentrates: every run stays within a small multiple of
+      // the target even though df/target exceeds the bucket resolution
+      assert(runs.max <= 8L * c.saltTargetPostings,
+        s"fattest run ${runs.max} postings vs target ${c.saltTargetPostings}")
+      // ...and no over-fragmentation either (tiny runs would multiply
+      // serving cursors and kill qps): run count stays near the demand
+      assert(runs.length <= 2 * (20480 / c.saltTargetPostings),
+        s"${runs.length} runs — over-fragmented")
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("doc-CLUSTERED hot term hash-sub-splits its narrow span (no single fat reducer)") {
+    val dir = freshDir()
+    try {
+      // 'clustered' lives only in docs [0, 1024) of a 32k corpus: its
+      // quantile span is ~32 buckets but it needs ~64 salts at target 16
+      val c = cfg.copy(shards = 1, buildPartitions = 8, saltTargetPostings = 16)
+      val docs = spark.range(0L, 32768L, 1L, 8).toDF("doc_id")
+        .selectExpr("doc_id",
+          "concat(CASE WHEN doc_id < 1024 THEN 'clustered ' ELSE '' END, " +
+            "'filler', doc_id % 13) AS text")
+      SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, c)
+      SegmentBuilder.buildAll(spark, dir, c)
+      val runs = spark.read.parquet(s"$dir/segments")
+        .filter(col("term") === "clustered")
+        .groupBy("salt").agg(sum("n_postings").as("n"))
+        .collect().map(_.getLong(1))
+      assert(runs.length >= 16, s"clustered term must still fan out, got ${runs.length} runs")
+      assert(runs.length <= 2 * (1024 / c.saltTargetPostings),
+        s"${runs.length} runs — over-fragmented")
+      assert(runs.max <= 8L * c.saltTargetPostings,
+        s"fattest run ${runs.max} postings — clustering defeated the salt")
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("interrupted build resumes without recomputation and yields identical segments") {
     val dirA = freshDir(); val dirB = freshDir()
     try {
