@@ -174,13 +174,7 @@ object Bench {
     val total = results.map(_._2).filter(_ > 0).sum
     // full JSON string escape — exception text can carry backslashes
     // (regexes), tabs, quotes; a blacklist would emit invalid JSON
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    val failed = failures.map { case (k, e) => "\"" + esc(s"$k: $e") + "\"" }
+    val failed = failures.map { case (k, e) => JsonUtil.q(s"$k: $e") }
       .mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +

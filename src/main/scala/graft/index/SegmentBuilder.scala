@@ -133,10 +133,7 @@ object SegmentBuilder {
     // a RE-ingest over an existing index must invalidate the old
     // completion marker FIRST: a crash mid-overwrite would otherwise
     // leave mixed old/new data that ingestDone() reports as complete
-    {
-      val p = Paths.get(indexDir, "_ingested")
-      if (Files.exists(p)) Files.delete(p)
-    }
+    Files.deleteIfExists(Paths.get(indexDir, "_ingested"))
     // Defensive partitioning: tokenization is the dominant compute and
     // must never be bottlenecked by a coarse input layout (e.g. one fat
     // parquet file => one task). Cheap relative to the analyze/explode
@@ -247,9 +244,12 @@ object SegmentBuilder {
     // salt demand exceeds the span (monster terms AND doc-clustered hot
     // terms both stay near the target; a sub-split run still spans only
     // one quantile bucket, so serve-side range pruning keeps working).
+    // scale by the STORED resolution (splits.length + 1), not the
+    // compile-time QuantileBuckets — an index ingested under an older
+    // resolution must keep bucketing consistently with its own splits
     val splits = readQsplits(spark, indexDir)
     def bucketIdx(c: org.apache.spark.sql.Column) =
-      RangeSaltExpr.saltCol(c, lit(QuantileBuckets), splits)
+      RangeSaltExpr.saltCol(c, lit(splits.length + 1), splits)
     // needed salts ~ df/target; rs contiguous range pieces over the
     // term's own bucket span (never MORE pieces than needed — a hot-ish
     // term must not fragment into one run per bucket); hsalts hash

@@ -91,15 +91,19 @@ object BM25 {
       val d = ts.distinct
       d.map(t => (qid, t, d.size))
     }.toDF("pqid", "term", "n_req")
-    // materialized once (tiny: candidate ids only) — it is consumed by
-    // every distinct-phrase-length branch below and would otherwise
-    // re-run the postings scan per branch
-    val prefilter = post.join(broadcast(pq), "term")
+    // materialized once (tiny: candidate ids only) when multiple
+    // distinct-phrase-length branches would otherwise re-run the
+    // postings scan; with a single branch the plan fuses and an eager
+    // checkpoint would be pure overhead
+    val prefilter0 = post.join(broadcast(pq), "term")
       .groupBy("pqid", "doc_id")
       .agg(count(lit(1)).as("got"), first(col("n_req")).as("n_req"))
       .filter(col("got") === col("n_req"))
       .select(col("pqid"), col("doc_id"))
-      .localCheckpoint(eager = true)
+    val prefilter =
+      if (analyzed.map(_._2.length).distinct.size > 1)
+        prefilter0.localCheckpoint(eager = true)
+      else prefilter0
     val candidates = phraseCandidates(docs, idCol, contentCol, analyzed, Some(prefilter))
     val qterms = analyzed
       .flatMap { case (qid, ts) =>

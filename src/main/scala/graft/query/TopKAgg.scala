@@ -25,12 +25,15 @@ final case class ScoredDoc(score: Double, doc_id: Long)
 final class TopKByScore(k: Int)
     extends Aggregator[ScoredDoc, Seq[ScoredDoc], Seq[ScoredDoc]] {
 
-  /** a strictly better than b. Double.compare (not `>`) keeps the order
-    * TOTAL for NaN (ranked above every double, like Spark's sort order
-    * and DuckDB's ORDER BY DESC) and distinguishes -0.0 < 0.0 — a
+  /** a strictly better than b. IEEE `==` first (so -0.0 ties 0.0, like
+    * Spark's normalized sort and DuckDB), then Double.compare for a
+    * TOTAL order on the rest (NaN ranked above every double, like
+    * Spark's sort order and DuckDB's ORDER BY DESC; NaN ties NaN) — a
     * non-total comparator would make results merge-order-dependent. */
   @inline private def better(a: ScoredDoc, b: ScoredDoc): Boolean = {
-    val c = java.lang.Double.compare(a.score, b.score)
+    val c =
+      if (a.score == b.score) 0
+      else java.lang.Double.compare(a.score, b.score)
     c > 0 || (c == 0 && a.doc_id < b.doc_id)
   }
 
