@@ -35,7 +35,8 @@ object Bench {
     "ft_wand_topk", "ing_docmap", "dd_exact", "dd_minhash_lsh", "dd_cluster",
     "dd_simhash", "sim_cosine_topk", "sim_batch_topk", "sim_ann_topk",
     "sim_ivf_topk",
-    "txt_quality", "txt_tokens", "txt_fingerprint", "txt_langid", "mm_features")
+    "txt_quality", "txt_repetition", "txt_tokens", "txt_fingerprint", "txt_langid",
+    "mm_features")
 
   private def session(master: String, shufflePartitions: Int): SparkSession = {
     SparkSession.clearActiveSession()

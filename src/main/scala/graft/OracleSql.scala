@@ -358,6 +358,23 @@ object OracleSql {
        |FROM documents d JOIN toks ON d.doc_id = toks.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Gopher-style repetition ratios; bigram list mirrors the engine's
+    * 2-gram shingles over lowercased whitespace tokens. */
+  private val txtRepetition =
+    """WITH t AS (SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |b AS (SELECT doc_id, ws,
+      |    list_transform(range(1, greatest(len(ws), 1)),
+      |      i -> ws[i] || ' ' || ws[i+1]) AS bi FROM t)
+      |SELECT doc_id,
+      |  len(ws)::BIGINT AS n_words,
+      |  len(list_distinct(ws))::BIGINT AS n_distinct_words,
+      |  printf('%.9f', 1.0 - len(list_distinct(ws))::DOUBLE / len(ws)) AS dup_word_ratio,
+      |  CASE WHEN len(bi) > 0
+      |       THEN printf('%.9f', 1.0 - len(list_distinct(bi))::DOUBLE / len(bi)) END
+      |    AS dup_bigram_ratio
+      |FROM b ORDER BY doc_id""".stripMargin
+
   private val txtFingerprint =
     """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -416,6 +433,7 @@ object OracleSql {
     "sim_batch_topk"      -> simBatchTopk,
     "mm_features"         -> mmFeatures,
     "txt_quality"         -> txtQuality,
+    "txt_repetition"      -> txtRepetition,
     "txt_tokens"          -> txtTokens,
     "txt_fingerprint"     -> txtFingerprint,
     "txt_langid"          -> txtLangid

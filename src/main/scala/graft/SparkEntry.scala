@@ -476,6 +476,27 @@ object SparkEntry {
       size(CodeTokenizer.tokensColFast(col("text"))).cast("long").as("n_analyzed"))
       .orderBy("doc_id")
 
+  /** Repetition scoring (Gopher-style quality filter): duplicate-word
+    * and duplicate-bigram ratios per document — high values flag
+    * boilerplate/spam for training-data filtering. Pure column
+    * expressions; one narrow scan. */
+  private def qTxtRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val nw = size(ws).cast("long")
+    val ndw = size(array_distinct(ws)).cast("long")
+    val bi = Dedup.shinglesColN(ws, 2)
+    val nb = size(bi).cast("long")
+    val ndb = size(array_distinct(bi)).cast("long")
+    d.select(col("doc_id"),
+      nw.as("n_words"),
+      ndw.as("n_distinct_words"),
+      format_string("%.9f", lit(1.0) - ndw.cast("double") / nw).as("dup_word_ratio"),
+      when(nb > 0, format_string("%.9f", lit(1.0) - ndb.cast("double") / nb))
+        .as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
     * (deterministic near-dup prefilter). */
   private def qTxtFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -549,6 +570,7 @@ object SparkEntry {
     "sim_ann_topk"        -> (qAnnTopk _),
     "mm_features"         -> (qMmFeatures _),
     "txt_quality"         -> (qTxtQuality _),
+    "txt_repetition"      -> (qTxtRepetition _),
     "txt_tokens"          -> (qTxtTokens _),
     "txt_fingerprint"     -> (qTxtFingerprint _),
     "txt_langid"          -> (qTxtLangid _)

@@ -71,6 +71,15 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"phrase ranking must not window-sort:\n$plan")
   }
 
+  test("batch similarity ranks via bounded aggregation — no window, no single-partition exchange") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.ops.Similarity.cosineTopKBatch(emb, SparkEntry.SimQueryIds, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), s"batch sim ranking:\n$plan")
+    assert(!plan.contains("Window"), s"batch sim must not window-sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"bounded top-k expected:\n$plan")
+  }
+
   test("phrase candidates scan the corpus once per distinct phrase length, not per phrase") {
     import graft.analyze.CodeTokenizer
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
