@@ -136,6 +136,19 @@ object AccessLog {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** S5/P4: ES-scroll-shaped source — newline-delimited JSON documents
+    * carrying the reference's ES field names (the `_source` payload of
+    * an accesslog hit, ElasticSearchService.cs:267-278). Read with
+    * primitives-as-string so the SAME lenient coercion battery used for
+    * CSV applies (field names match case-insensitively through
+    * ColumnMappings; unknown fields tolerated and dropped; the only
+    * row-fatal rule is a missing _id). */
+  def readEsJson(spark: SparkSession, path: String): DataFrame =
+    coerce(spark.read
+      .option("primitivesAsString", true)
+      .option("mode", "PERMISSIVE")
+      .json(path))
+
   /** S3: header probe — the required minimum header set must be present
     * (CSVService.cs:97-104); returns the missing headers. */
   def missingRequiredHeaders(headers: Seq[String]): Seq[String] = {

@@ -119,6 +119,32 @@ class AccessLogSpec extends SparkSuite {
     assert(rs(1).getAs[scala.collection.Seq[String]]("errors").contains("nationality_id_checksum"))
   }
 
+  test("ES JSON source: same mapping/coercion/validation battery as CSV") {
+    val f = Files.createTempFile("accesslog_", ".ndjson")
+    Files.writeString(f, Seq(
+      // well-formed hit _source (ES-style field names, mixed case)
+      """{"_id":"j1","_index":"logs","accessLog":"1","eventId":"7","timestamp":"2024-05-01T10:00:00","gksType":"telpo","ip":"2001:db8::1","port":"6666","nationalityId":"10000000146","result":"PASSED","unknownField":"dropped"}""",
+      // junk types -> lenient nulls; missing _id -> row dropped
+      """{"_id":"j2","eventId":"not-a-number","timestamp":"junk","port":"abc"}""",
+      """{"eventId":"9","timestamp":"2024-05-01T10:00:00"}"""
+    ).mkString("\n"))
+    val df = AccessLog.readEsJson(spark, f.toString).orderBy("elasticsearch_id")
+    val rows = df.collect()
+    assert(rows.length === 2, "missing _id row must be dropped")
+    val j1 = rows(0)
+    assert(j1.getAs[String]("elasticsearch_id") === "j1")
+    assert(j1.getAs[Boolean]("access_log_flag") === true)
+    assert(j1.getAs[Int]("event_id") === 7)
+    assert(j1.getAs[String]("gks_type") === "telpo")
+    val j2 = rows(1)
+    assert(j2.getAs[Any]("event_id") === null, "junk int coerces to null")
+    assert(j2.getAs[Any]("timestamp") === null, "junk ts coerces to null")
+    // validation battery applies identically: j1 clean, j2 flags port
+    val v = AccessLog.validate(df).orderBy("elasticsearch_id").collect()
+    assert(v(0).getAs[scala.collection.Seq[String]]("errors").isEmpty)
+    assert(v(1).getAs[scala.collection.Seq[String]]("errors").toSet === Set("port_range"))
+  }
+
   test("IP validation parity: real IPv4 AND IPv6, colon-garbage rejected") {
     def errsFor(ip: String): Set[String] = AccessLog.validate(parse(
       row("ip" -> ip))).head().getAs[scala.collection.Seq[String]]("errors").toSet
