@@ -488,10 +488,19 @@ object SparkEntry {
     val bi = Dedup.shinglesColN(ws, 2)
     val nb = size(bi).cast("long")
     val ndb = size(array_distinct(bi)).cast("long")
+    // %.9f like every other small-int-ratio query: higher precisions
+    // (15 digits) hit Java-vs-DuckDB float-PRINTING divergence at the
+    // last digit; 9 digits is the proven band. Residual constraint
+    // (shared with txt_quality's ratios): a doc whose word count is an
+    // exact power of two >= 2^10 could tie at digit 10 — absent from
+    // the synthetic corpora and bounded by the corpus generator.
+    // isNotNull guard: format_string(NULL) prints the STRING "null"
+    // while the oracle's printf propagates SQL NULL.
     d.select(col("doc_id"),
       nw.as("n_words"),
       ndw.as("n_distinct_words"),
-      format_string("%.9f", lit(1.0) - ndw.cast("double") / nw).as("dup_word_ratio"),
+      when(nw.isNotNull,
+        format_string("%.9f", lit(1.0) - ndw.cast("double") / nw)).as("dup_word_ratio"),
       when(nb > 0, format_string("%.9f", lit(1.0) - ndb.cast("double") / nb))
         .as("dup_bigram_ratio"))
       .orderBy("doc_id")

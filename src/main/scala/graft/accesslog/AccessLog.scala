@@ -143,11 +143,30 @@ object AccessLog {
     * CSV applies (field names match case-insensitively through
     * ColumnMappings; unknown fields tolerated and dropped; the only
     * row-fatal rule is a missing _id). */
-  def readEsJson(spark: SparkSession, path: String): DataFrame =
-    coerce(spark.read
-      .option("primitivesAsString", true)
-      .option("mode", "PERMISSIVE")
-      .json(path))
+  def readEsJson(spark: SparkSession, path: String): DataFrame = {
+    // Two-step read. 1) Infer the key set under scoped caseSensitive=true
+    // (keys differing only in case across documents — raw _source has no
+    // single header row — would otherwise reject the read outright).
+    val csKey = "spark.sql.caseSensitive"
+    val csOld = spark.conf.get(csKey)
+    val inferredNames = try {
+      spark.conf.set(csKey, "true")
+      spark.read.option("mode", "PERMISSIVE").json(path).schema.fieldNames.toSeq
+    } finally spark.conf.set(csKey, csOld)
+    // 2) Re-read with an explicit all-string schema keeping the FIRST
+    // seen casing of each key (JSON field matching is case-sensitive at
+    // parse time; coerce() maps the kept names case-insensitively, and
+    // a document using a different casing for a deduped key contributes
+    // null for it — keep-first semantics). Every scalar arrives as a
+    // string for the shared lenient battery, and an object/array value
+    // (legitimate in ES documents) is captured as its raw JSON text
+    // instead of an AnalysisException killing the read.
+    val names = inferredNames.foldLeft(Vector.empty[String]) { (acc, n) =>
+      if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n
+    }
+    val schema = StructType(names.map(StructField(_, StringType)))
+    coerce(spark.read.schema(schema).option("mode", "PERMISSIVE").json(path))
+  }
 
   /** S3: header probe — the required minimum header set must be present
     * (CSVService.cs:97-104); returns the missing headers. */

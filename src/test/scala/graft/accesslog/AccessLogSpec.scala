@@ -126,11 +126,15 @@ class AccessLogSpec extends SparkSuite {
       """{"_id":"j1","_index":"logs","accessLog":"1","eventId":"7","timestamp":"2024-05-01T10:00:00","gksType":"telpo","ip":"2001:db8::1","port":"6666","nationalityId":"10000000146","result":"PASSED","unknownField":"dropped"}""",
       // junk types -> lenient nulls; missing _id -> row dropped
       """{"_id":"j2","eventId":"not-a-number","timestamp":"junk","port":"abc"}""",
-      """{"eventId":"9","timestamp":"2024-05-01T10:00:00"}"""
+      """{"eventId":"9","timestamp":"2024-05-01T10:00:00"}""",
+      // object/array values in mapped fields (legit in ES docs) must
+      // flatten to JSON text, not kill the read; case-duplicate keys
+      // keep the first-seen column
+      """{"_id":"j3","image":{"url":"a.jpg"},"result":["PASSED"],"Timestamp":"2024-05-01T11:00:00"}"""
     ).mkString("\n"))
     val df = AccessLog.readEsJson(spark, f.toString).orderBy("elasticsearch_id")
     val rows = df.collect()
-    assert(rows.length === 2, "missing _id row must be dropped")
+    assert(rows.length === 3, "missing _id row must be dropped")
     val j1 = rows(0)
     assert(j1.getAs[String]("elasticsearch_id") === "j1")
     assert(j1.getAs[Boolean]("access_log_flag") === true)
@@ -139,10 +143,16 @@ class AccessLogSpec extends SparkSuite {
     val j2 = rows(1)
     assert(j2.getAs[Any]("event_id") === null, "junk int coerces to null")
     assert(j2.getAs[Any]("timestamp") === null, "junk ts coerces to null")
-    // validation battery applies identically: j1 clean, j2 flags port
+    val j3 = rows(2)
+    assert(j3.getAs[String]("image").contains("a.jpg"), "object field flattens to JSON text")
+    assert(j3.getAs[String]("result").contains("PASSED"), "array field flattens to JSON text")
+    // validation battery applies identically: j1 clean, j2 flags port,
+    // j3's flattened JSON values fail their format rules (not the read)
     val v = AccessLog.validate(df).orderBy("elasticsearch_id").collect()
     assert(v(0).getAs[scala.collection.Seq[String]]("errors").isEmpty)
     assert(v(1).getAs[scala.collection.Seq[String]]("errors").toSet === Set("port_range"))
+    val j3errs = v(2).getAs[scala.collection.Seq[String]]("errors").toSet
+    assert(j3errs.contains("image_ext") && j3errs.contains("result_enum"))
   }
 
   test("IP validation parity: real IPv4 AND IPv6, colon-garbage rejected") {
