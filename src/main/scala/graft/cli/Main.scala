@@ -65,6 +65,33 @@ object Main {
     s
   }
 
+  /** S7: connection/health probe — the reference's TestConnections
+    * (ES ping + PG `SELECT 1`, IMigrationService.cs) re-targeted at the
+    * engine's two "stores": the Spark session and an index directory.
+    * Reports session liveness, ingest completeness, corpus stats
+    * readability, and how many shards hold a checkpoint matching the
+    * CURRENT lineage (a stale checkpoint is not healthy). */
+  def pingInfo(spark: SparkSession, indexDir: String,
+               cfg: EngineConfig = EngineConfig.default): (Boolean, String) = {
+    val sessionOk = !spark.sparkContext.isStopped
+    val ingested = graft.index.SegmentBuilder.ingestDone(indexDir)
+    val (n, avgdl, shardsBuilt) =
+      if (!ingested) (0L, 0.0, 0)
+      else try {
+        val (n0, a0) = graft.index.SegmentBuilder.readStats(spark, indexDir)
+        val built = (0 until cfg.shards).count(sh =>
+          graft.index.SegmentBuilder.manifestDone(indexDir, sh,
+            graft.index.SegmentBuilder.lineage(spark, indexDir, cfg, sh)))
+        (n0, a0, built)
+      } catch { case _: Exception => (0L, 0.0, 0) }
+    val healthy = sessionOk && ingested && n > 0 && shardsBuilt == cfg.shards
+    val json =
+      s"""{"op":"ping","healthy":$healthy,"session_ok":$sessionOk,""" +
+        s""""ingested":$ingested,"docs":$n,"avgdl":$avgdl,""" +
+        s""""shards_built":$shardsBuilt,"shards_expected":${cfg.shards}}"""
+    (healthy, json)
+  }
+
   /** Dry-run analyzer (§3.3): sample, report token/skew stats and a
     * go/no-go validity gate (>=50% of sampled docs analyzable —
     * CSVService.cs:223's gate re-targeted at the corpus). */
@@ -139,12 +166,18 @@ object Main {
         val spark = session("graft-analyze")
         analyze(spark, docs).show(false)
         spark.stop()
+      case "ping" :: indexDir :: Nil =>
+        val spark = session("graft-ping")
+        val (healthy, json) = pingInfo(spark, indexDir, cfg)
+        println(json)
+        spark.stop()
+        if (!healthy) sys.exit(1)
       case other =>
         System.err.println(
           s"unknown command: ${other.mkString(" ")}\n" +
             "usage: ingest <docs.parquet> <indexDir> | build <indexDir> | " +
             "merge <indexDir> <outDir> | query <indexDir> <text> [k] | " +
-            "analyze <docs.parquet>")
+            "analyze <docs.parquet> | ping <indexDir>")
         sys.exit(2)
     }
   }

@@ -41,6 +41,31 @@ class MainSpec extends SparkSuite {
     assert(!echo.contains("s3cr3t") && !echo.contains("OTHER"))
   }
 
+  test("ping health probe: healthy only for a complete, lineage-current index") {
+    import org.apache.spark.sql.functions.col
+    val cfg = graft.config.EngineConfig.default.copy(
+      shards = 2, buildPartitions = 2, saltTargetPostings = 128)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ping_").toString
+    try {
+      // empty dir: unhealthy, session still ok
+      val (h0, j0) = Main.pingInfo(spark, dir, cfg)
+      assert(!h0 && j0.contains("\"session_ok\":true") && j0.contains("\"ingested\":false"))
+      // ingested but not built: still unhealthy
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      graft.index.SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, cfg)
+      val (h1, j1) = Main.pingInfo(spark, dir, cfg)
+      assert(!h1 && j1.contains("\"ingested\":true") && j1.contains("\"shards_built\":0"))
+      // fully built: healthy
+      graft.index.SegmentBuilder.buildAll(spark, dir, cfg)
+      val (h2, j2) = Main.pingInfo(spark, dir, cfg)
+      assert(h2, j2)
+      assert(j2.contains("\"shards_built\":2") && j2.contains("\"docs\":500"))
+      // lineage drift (different config) makes it unhealthy again
+      val (h3, _) = Main.pingInfo(spark, dir, cfg.copy(blockSize = 32))
+      assert(!h3, "stale checkpoints must not report healthy")
+    } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("dry-run analyzer reports corpus stats and the go/no-go gate") {
     val r = Main.analyze(spark, "/root/testdata/sf0.001/documents.parquet").head()
     assert(r.getAs[Long]("total_docs") === 500)
