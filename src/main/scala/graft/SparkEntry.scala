@@ -405,8 +405,9 @@ object SparkEntry {
   /** MinHash+LSH near-dup detection with exact verification on the
     * candidate set — oracle is the exact-Jaccard SQL at the same
     * threshold. Banding derives from the threshold (Dedup.lshPlan:
-    * >=0.999 recall at J >= t+0.25); this corpus's near-dup pairs are
-    * all >0.9 where the 16x4 banding's miss probability is ~1e-18, so
+    * >=0.99 candidate recall at J >= t+0.25 — the (16,4) plan's actual
+    * recall there is ~0.9977); this corpus's near-dup pairs are all
+    * >0.9 where the 16x4 banding's miss probability is ~1e-18, so
     * oracle equality is robust, and every emitted pair is verified
     * exactly regardless. */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =

@@ -285,13 +285,15 @@ object AccessLog {
       "transaction_id_pos" -> okOrNull(col("transaction_id"), col("transaction_id") > 0),
       "passage_duration_range" -> okOrNull(col("passage_duration"),
         col("passage_duration").between(0, 3600)),
-      // the reference validates Port as a STRING (length cap + parse +
-      // range — BeValidPort, AccessLogValidator.cs:223-231): a
-      // non-numeric port is a violation, not a silent null. The rule
-      // therefore runs on the pre-coercion string column.
+      // the reference validates Port as a STRING (parse + range —
+      // BeValidPort, AccessLogValidator.cs:223-231): a non-numeric port
+      // is a violation, not a silent null, so the rule runs on the
+      // pre-coercion string column. No length cap: C# int.TryParse
+      // accepts arbitrarily long leading-zero numerics ("00000000080"
+      // is port 80) and try_cast already nulls on int overflow exactly
+      // where int.TryParse fails.
       "port_range" -> okOrNull(col("port_raw"),
-        length(col("port_raw")) <= 10 &&
-          expr("try_cast(port_raw as int)").isNotNull && // non-numeric = violation
+        expr("try_cast(port_raw as int)").isNotNull && // non-numeric = violation
           expr("try_cast(port_raw as int)").between(1, 65535)),
       "image_ext" -> okOrNull(col("image"),
         lower(col("image")).rlike("\\.(jpg|jpeg|png|bmp|gif)$")),

@@ -88,14 +88,21 @@ object Dedup {
     val (bands, rowsPerBand) = lshPlan(threshold, numHashes)
     // ONE tokenize+shingle pass over the corpus, cached as distinct
     // arrays (MinHash is duplicate-blind, so signatures come off the
-    // distinct form too); all three consumers below reuse the cache
+    // distinct form too); all three consumers below reuse the cache.
+    // Shingle-less docs (< n tokens) are excluded up front: their empty
+    // arrays would all share the identical all-MaxValue signature and
+    // collide in EVERY band, materializing O(m^2) candidate pairs for m
+    // short docs (whose 0/0 Jaccard is NaN, not a match) — the exact
+    // quadratic blowup LSH exists to avoid. A doc with no shingles has
+    // no definable set-Jaccard neighbors, so dropping it is semantics-
+    // preserving, not an approximation.
     val arrs = docs.select(idCol.cast("long").as("doc_id"),
         array_distinct(shinglesCol(CodeTokenizer.tokensColFast(contentCol))).as("sh"))
+      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cand = lshCandidates(minhashSignatures(arrs, numHashes), bands, rowsPerBand)
-      // exact verification on candidates only: set semantics; a
-      // 0-shingle doc yields 0/0 = null and is filtered out
+      // exact verification on candidates only: set semantics
       val out = cand
         .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(arrs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -10,22 +10,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * call per row, no interpreted per-element lambda (the equivalent
   * aggregate/zip_with higher-order form runs its closure once per vector
   * component; at embedding dims x corpus size that is the inner loop of
-  * every similarity candidate).
+  * every similarity candidate). Real doGenCode keeps the candidate scan
+  * inside whole-stage codegen (the loop itself runs as a primitive
+  * method call on the referenced expression object).
   *
   * Bit-parity contract: accumulation order is ascending index for all
   * three sums, identical to the fold order of the HOF form and the
   * DuckDB oracle's list_sum(list_transform(...)) — equal inputs produce
-  * bit-equal doubles (property-tested in SimilaritySpec).
+  * bit-equal doubles (property-tested in SimilaritySpec). Length-
+  * mismatched inputs evaluate to NULL, again matching the HOF form
+  * (zip_with pads the shorter array with nulls, nulling the dot product
+  * and hence the whole expression).
   */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // null also on length mismatch, independent of child nullability
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+  /** Primitive hot path, shared by eval and generated code; caller
+    * guarantees equal lengths. */
+  def cos(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -33,13 +40,25 @@ case class CosineSimExpr(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    // match the HOF form exactly: norms fold over the FULL vectors even
-    // when lengths differ (dot folds over the zip_with min length)
-    var j = n
-    while (j < a.numElements()) { val x = a.getDouble(j); na += x * x; j += 1 }
-    j = n
-    while (j < b.numElements()) { val y = b.getDouble(j); nb += y * y; j += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null else cos(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSimExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ref.cos($a, $b);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(

@@ -200,9 +200,11 @@ class AccessLogSpec extends SparkSuite {
     def errsFor(p: String): Set[String] = AccessLog.validate(parse(
       row("port" -> p))).head().getAs[scala.collection.Seq[String]]("errors").toSet
     assert(errsFor("abc").contains("port_range"), "non-numeric port must violate")
-    assert(errsFor("12345678901").contains("port_range"), "length cap 10")
+    assert(errsFor("12345678901").contains("port_range"), "int overflow = TryParse failure")
     assert(errsFor("0").contains("port_range"))
     assert(!errsFor("65535").contains("port_range"))
+    assert(!errsFor("00000000080").contains("port_range"),
+      "long leading-zero numerics parse like int.TryParse (port 80)")
     assert(!errsFor("").contains("port_range"), "null port passes (optional field)")
   }
 

@@ -70,13 +70,28 @@ class DedupSpec extends SparkSuite {
   }
 
   test("lsh banding is derived from the threshold with a recall contract") {
-    // t=0.5 -> detect at 0.75 with >=0.999 recall -> 16 bands x 4 rows
+    // t=0.5 -> detect at 0.75 with >=0.99 recall -> 16 bands x 4 rows
+    // (the (16,4) plan's actual recall at J=0.75 is ~0.9977)
     assert(Dedup.lshPlan(0.5, 64) === ((16, 4)))
     // higher thresholds afford longer bands (fewer false candidates)
     assert(Dedup.lshPlan(0.9, 64) === ((8, 8)))
     // very low thresholds need shorter bands for recall
     val (b, r) = Dedup.lshPlan(0.1, 64)
     assert(b * r === 64 && r <= 2)
+  }
+
+  test("shingle-less docs never become LSH candidates (no all-equal-signature collisions)") {
+    import spark.implicits._
+    // 30 docs with < 3 tokens (empty shingle arrays) + 2 true dups:
+    // without the size(sh) > 0 filter the 30 short docs would share the
+    // all-MaxValue signature and materialize 435 candidate pairs
+    val shorts = (0L until 30L).map(i => (i, s"tok$i only"))
+    val dups = Seq((100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta"))
+    val docs = (shorts ++ dups).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(docs, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 101L)))
   }
 
   test("connected components: chains collapse to min id, clusters sized") {

@@ -83,6 +83,16 @@ class SimilaritySpec extends SparkSuite {
     assert(p.flatten.forall(v => v >= -1.0 && v <= 1.0))
   }
 
+  test("native cosine yields NULL on length-mismatched vectors, like the HOF form") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosineCol(col("a"), col("b")).as("native"),
+      Similarity.cosineColHof(col("a"), col("b")).as("hof")).head()
+    assert(r.isNullAt(0), "native must null on mismatched lengths")
+    assert(r.isNullAt(1), "HOF nulls via zip_with padding — the parity target")
+  }
+
   test("native cosine expression is bit-equal to the interpreted HOF form") {
     val e = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
