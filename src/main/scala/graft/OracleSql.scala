@@ -206,6 +206,75 @@ object OracleSql {
        |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
   }
 
+  /** ES-JSON source oracle: DuckDB read_json over the SAME deterministic
+    * NDJSON fixture the Spark query reads, replicating the reference's
+    * array unwrap (first element of a non-empty array — an empty array
+    * and JSON null both yield SQL NULL), nullNorm, and the lenient
+    * try_cast/timestamp battery. The corrupt line is skipped
+    * (ignore_errors, like PERMISSIVE + the fatal-_id filter) and the
+    * missing-_id document is dropped by the WHERE, on both sides. */
+  private def esJsonCoercion: String = {
+    val path = graft.accesslog.EsFixture.DefaultPath
+    // reference unwrap: first element of a non-empty array, else the scalar
+    def uw(c: String) =
+      s"CASE WHEN json_type($c) = 'ARRAY' THEN json_extract_string($c, '$$[0]') " +
+        s"ELSE json_extract_string($c, '$$') END"
+    // nullNorm: ''/whitespace/'null' (any case) -> NULL, else trimmed
+    def nn(e: String) =
+      s"CASE WHEN trim($e) = '' OR lower(trim($e)) = 'null' THEN NULL ELSE trim($e) END"
+    def boolc(e: String) =
+      s"COALESCE(CASE WHEN lower($e) IN ('true','1') THEN true " +
+        s"WHEN lower($e) IN ('false','0') THEN false END, false)"
+    def tsc(e: String) =
+      s"""strftime(COALESCE(
+         |    try_strptime($e, '%Y-%m-%dT%H:%M:%S'),
+         |    try_strptime($e, '%Y-%m-%d %H:%M:%S'),
+         |    CASE WHEN try_cast($e AS BIGINT) IS NOT NULL THEN
+         |      CASE WHEN try_cast($e AS BIGINT) > 1000000000000
+         |           THEN epoch_ms(try_cast($e AS BIGINT))
+         |           ELSE epoch_ms(try_cast($e AS BIGINT) * 1000) END END
+         |  ), '%Y-%m-%d %H:%M:%S')""".stripMargin
+    val cols = Seq("_id", "_index", "accessLog", "eventId", "gksType", "result",
+      "port", "ip", "nationalityId", "timestamp", "transactionTime",
+      "passageDuration", "stadiumId", "transactionId", "isAccreditation",
+      "serialNumber").map(c => s"'$c': 'JSON'").mkString(", ")
+    s"""WITH j AS (
+       |  SELECT * FROM read_json('$path', format='newline_delimited',
+       |    ignore_errors=true, columns={$cols})),
+       |u AS (
+       |  SELECT
+       |    ${nn("json_extract_string(\"_id\", '$')")} AS id,
+       |    ${nn("json_extract_string(\"_index\", '$')")} AS idx,
+       |    ${nn(uw("\"accessLog\""))} AS access_log,
+       |    ${nn(uw("\"eventId\""))} AS event_id_s,
+       |    ${nn(uw("\"gksType\""))} AS gks_type,
+       |    ${nn(uw("\"result\""))} AS result,
+       |    ${nn(uw("\"port\""))} AS port_s,
+       |    ${nn(uw("\"ip\""))} AS ip,
+       |    ${nn(uw("\"nationalityId\""))} AS nationality_id,
+       |    ${nn(uw("\"timestamp\""))} AS ts_raw,
+       |    ${nn(uw("\"transactionTime\""))} AS tt_raw,
+       |    ${nn(uw("\"passageDuration\""))} AS pd_s,
+       |    ${nn(uw("\"stadiumId\""))} AS stadium_id_s,
+       |    ${nn(uw("\"transactionId\""))} AS transaction_id_s,
+       |    ${nn(uw("\"isAccreditation\""))} AS is_accred_s,
+       |    ${nn(uw("\"serialNumber\""))} AS serial_number
+       |  FROM j)
+       |SELECT id, idx,
+       |  try_cast(event_id_s AS INTEGER) AS event_id,
+       |  ${boolc("access_log")} AS access_log_flag,
+       |  ${boolc("is_accred_s")} AS is_accreditation,
+       |  gks_type, result,
+       |  try_cast(port_s AS INTEGER) AS port,
+       |  ip, nationality_id, serial_number,
+       |  try_cast(stadium_id_s AS INTEGER) AS stadium_id,
+       |  try_cast(transaction_id_s AS INTEGER) AS transaction_id,
+       |  try_cast(pd_s AS DECIMAL(10,2)) AS passage_duration,
+       |  ${tsc("ts_raw")} AS ts_s,
+       |  ${tsc("tt_raw")} AS tt_s
+       |FROM u WHERE id IS NOT NULL ORDER BY id""".stripMargin
+  }
+
   private val qTsCoercion =
     """WITH s AS (SELECT event_id,
       |  CASE event_id % 4
@@ -408,6 +477,7 @@ object OracleSql {
     "q_validation_counts" -> qValidationCounts,
     "q_warnings_top"      -> qWarningsTop,
     "q_json_coercion"     -> qJsonCoercion,
+    "es_json_coercion"    -> esJsonCoercion,
     "q_sample_head"       -> qSampleHead,
     "ft_postings"         -> ftPostings,
     "ft_doclen"           -> ftDoclen,

@@ -362,6 +362,26 @@ object SparkEntry {
         format_string("%.4f", col("cos")).as("cos"))
       .orderBy("rank")
 
+  /** S5/P4 source parity: the ES-scroll NDJSON source through the shared
+    * coercion battery, including the reference's array unwrap (first
+    * element of a non-empty array, null for an empty one —
+    * ElasticSearchService.cs:267-278). Oracle: DuckDB read_json over the
+    * same deterministic fixture with the identical unwrap + nullNorm +
+    * try_cast chain. */
+  private def qEsJsonCoercion(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.accesslog.EsFixture.ensure()
+    graft.accesslog.AccessLog.readEsJson(s, path)
+      .select(col("elasticsearch_id").as("id"),
+        col("elasticsearch_index").as("idx"),
+        col("event_id"), col("access_log_flag"), col("is_accreditation"),
+        col("gks_type"), col("result"), col("port"), col("ip"),
+        col("nationality_id"), col("serial_number"), col("stadium_id"),
+        col("transaction_id"), col("passage_duration"),
+        date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        date_format(col("transaction_time"), "yyyy-MM-dd HH:mm:ss").as("tt_s"))
+      .orderBy("id")
+  }
+
   /** P3 centerpiece: the multi-format timestamp coercion battery (ISO,
     * space-separated, epoch-seconds, garbage) — strings synthesized
     * deterministically from events.ts, coerced back leniently. */
@@ -551,6 +571,7 @@ object SparkEntry {
     "q_validation_counts" -> (qValidationCounts _),
     "q_warnings_top"      -> (qWarningsTop _),
     "q_json_coercion"     -> (qJsonCoercion _),
+    "es_json_coercion"    -> (qEsJsonCoercion _),
     "q_sample_head"       -> (qSampleHead _),
     "ft_postings"         -> (qFtPostings _),
     "ft_doclen"           -> (qFtDoclen _),

@@ -165,7 +165,26 @@ object AccessLog {
       if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n
     }
     val schema = StructType(names.map(StructField(_, StringType)))
-    coerce(spark.read.schema(schema).option("mode", "PERMISSIVE").json(path))
+    val raw = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    // ES may wrap any _source field in a JSON array; the reference takes
+    // the FIRST element of a non-empty array and null for an empty one
+    // (GetFirstArrayValue, ElasticSearchService.cs:267-278). An array
+    // value arrived above as its raw JSON text, so: parse it back as
+    // array<string> and take element 1 (JSON scalars of any type render
+    // as their text, matching ToObject<T>'s conversion); a `[`-prefixed
+    // plain STRING field fails the array parse and stays as-is. ES
+    // metadata (`_id`/`_index`/`_score`) uses direct token access in the
+    // reference — never unwrapped.
+    val unwrapped = raw.select(names.map { nm =>
+      val c = col(s"`$nm`")
+      if (nm.startsWith("_")) c.as(nm)
+      else {
+        val arr = from_json(c, ArrayType(StringType))
+        when(c.rlike("^\\s*\\[") && arr.isNotNull, try_element_at(arr, lit(1)))
+          .otherwise(c).as(nm)
+      }
+    }: _*)
+    coerce(unwrapped)
   }
 
   /** S3: header probe — the required minimum header set must be present

@@ -127,9 +127,9 @@ class AccessLogSpec extends SparkSuite {
       // junk types -> lenient nulls; missing _id -> row dropped
       """{"_id":"j2","eventId":"not-a-number","timestamp":"junk","port":"abc"}""",
       """{"eventId":"9","timestamp":"2024-05-01T10:00:00"}""",
-      // object/array values in mapped fields (legit in ES docs) must
-      // flatten to JSON text, not kill the read; case-duplicate keys
-      // keep the first-seen column
+      // array-wrapped scalars (legit ES shape) unwrap to their first
+      // element (GetFirstArrayValue); object values still flatten to
+      // JSON text; case-duplicate keys keep the first-seen column
       """{"_id":"j3","image":{"url":"a.jpg"},"result":["PASSED"],"Timestamp":"2024-05-01T11:00:00"}"""
     ).mkString("\n"))
     val df = AccessLog.readEsJson(spark, f.toString).orderBy("elasticsearch_id")
@@ -145,14 +145,37 @@ class AccessLogSpec extends SparkSuite {
     assert(j2.getAs[Any]("timestamp") === null, "junk ts coerces to null")
     val j3 = rows(2)
     assert(j3.getAs[String]("image").contains("a.jpg"), "object field flattens to JSON text")
-    assert(j3.getAs[String]("result").contains("PASSED"), "array field flattens to JSON text")
+    assert(j3.getAs[String]("result") === "PASSED", "array field unwraps to first element")
     // validation battery applies identically: j1 clean, j2 flags port,
-    // j3's flattened JSON values fail their format rules (not the read)
+    // j3's unwrapped result VALIDATES CLEAN (the reference passes
+    // {"result":["PASSED"]}) while its object-valued image still fails
+    // its format rule
     val v = AccessLog.validate(df).orderBy("elasticsearch_id").collect()
     assert(v(0).getAs[scala.collection.Seq[String]]("errors").isEmpty)
     assert(v(1).getAs[scala.collection.Seq[String]]("errors").toSet === Set("port_range"))
     val j3errs = v(2).getAs[scala.collection.Seq[String]]("errors").toSet
-    assert(j3errs.contains("image_ext") && j3errs.contains("result_enum"))
+    assert(!j3errs.contains("result_enum"), "unwrapped [\"PASSED\"] must pass result_enum")
+    assert(j3errs === Set("image_ext"))
+  }
+
+  test("ES array unwrap parity: first element, empty -> null, numbers, non-array kept") {
+    val f = Files.createTempFile("accesslog_unwrap_", ".ndjson")
+    Files.writeString(f, Seq(
+      """{"_id":"u1","result":["DENIED","ERROR"],"eventId":[7],"port":[443],"gksType":[]}""",
+      """{"_id":"u2","result":"[not-an-array","eventId":["8"],"isAccreditation":["false"]}"""
+    ).mkString("\n"))
+    val rows = AccessLog.readEsJson(spark, f.toString)
+      .orderBy("elasticsearch_id").collect()
+    val u1 = rows(0)
+    assert(u1.getAs[String]("result") === "DENIED", "multi-element array takes First()")
+    assert(u1.getAs[Int]("event_id") === 7, "array-wrapped JSON number unwraps + coerces")
+    assert(u1.getAs[Int]("port") === 443)
+    assert(u1.getAs[Any]("gks_type") === null, "empty array -> null (default(T))")
+    val u2 = rows(1)
+    assert(u2.getAs[String]("result") === "[not-an-array",
+      "a [-prefixed plain string that is not valid JSON stays as-is")
+    assert(u2.getAs[Int]("event_id") === 8)
+    assert(u2.getAs[Boolean]("is_accreditation") === false)
   }
 
   test("IP validation parity: real IPv4 AND IPv6, colon-garbage rejected") {
