@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.analyze.CodeTokenizer
 import graft.config.EngineConfig
 import graft.index.{Postings, SegmentBuilder}
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{AnnIndex, Dedup, Multimodal, Similarity}
 import graft.query.{BM25, Wand}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -346,21 +346,47 @@ object SparkEntry {
         format_string("%.4f", col("cos")).as("cos"))
       .orderBy("rank")
 
-  /** Random-hyperplane LSH ANN (approximate; recall vs the brute-force
-    * baseline is asserted in SimilaritySpec — no SQL oracle). */
-  private def qAnnTopk(s: SparkSession, dir: String): DataFrame =
-    Similarity.annTopK(tbl(s, dir, "embeddings"), 0L, 10)
-      .select(col("rank"), col("vec_id"), col("label"),
-        format_string("%.4f", col("cos")).as("cos"))
-      .orderBy("rank")
+  /** Persisted-ANN index root for `dir`'s embeddings (tmpfs when
+    * available, like the text index): build once per corpus + params
+    * (atomic marker + file-listing lineage), probe-only queries after. */
+  def annIndexDir(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    s"$base/graft_ann_$key"
+  }
 
-  /** IVF-flat ANN over coarse centroid lists (approximate; recall
-    * asserted in SimilaritySpec — no SQL oracle). */
-  private def qIvfTopk(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(tbl(s, dir, "embeddings"), 0L, 10)
+  /** Query vector lookup — a pushed-down point read of the source table
+    * (in a deployment the vector arrives with the request). */
+  private def queryVec(s: SparkSession, dir: String, id: Long): Array[Double] =
+    tbl(s, dir, "embeddings").filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+
+  /** Random-hyperplane LSH ANN over the PERSISTED bucket table
+    * (build-once via [[graft.ops.AnnIndex.ensureLsh]]; the query is a
+    * partition-pruned read of the Hamming ball's buckets — approximate;
+    * recall asserted in SimilaritySpec, no SQL oracle). */
+  private def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"${annIndexDir(dir)}/lsh"
+    AnnIndex.ensureLsh(s, tbl(s, dir, "embeddings"), idx, T(dir, "embeddings"))
+    AnnIndex.lshQuery(s, idx, queryVec(s, dir, 0L), 10)
       .select(col("rank"), col("vec_id"), col("label"),
         format_string("%.4f", col("cos")).as("cos"))
       .orderBy("rank")
+  }
+
+  /** IVF-flat ANN over the PERSISTED centroid + assignment artifact
+    * (k-means trains at build time only; the query ranks nlist persisted
+    * centroids and partition-prunes to nprobe lists — approximate;
+    * recall asserted in SimilaritySpec, no SQL oracle). */
+  private def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"${annIndexDir(dir)}/ivf"
+    AnnIndex.ensureIvf(s, tbl(s, dir, "embeddings"), idx, T(dir, "embeddings"))
+    AnnIndex.ivfQuery(s, idx, queryVec(s, dir, 0L), 10)
+      .select(col("rank"), col("vec_id"), col("label"),
+        format_string("%.4f", col("cos")).as("cos"))
+      .orderBy("rank")
+  }
 
   /** S5/P4 source parity: the ES-scroll NDJSON source through the shared
     * coercion battery, including the reference's array unwrap (first

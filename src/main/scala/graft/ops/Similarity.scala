@@ -171,51 +171,10 @@ object Similarity {
     cents
   }
 
-  /** IVF-flat: assign every vector to its nearest of `nlist` coarse
-    * k-means centroids ([[kmeansCentroids]] — deterministic init,
-    * distributed Lloyd refinement), probe the `nprobe` centroids
-    * nearest the query, rank candidates by exact cosine: one narrow
-    * assignment map, a groupBy-free bucket filter, exact verification
-    * on candidates.
-    */
-  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val e = embeddings.select(col("vec_id"), col("label"),
-      col("embedding").cast("array<double>").as("v"))
-    val centroids = kmeansCentroids(e, nlist, kmeansIters)
-    val assigned = e.as[(Long, Int, Array[Double])].map { case (id, label, v) =>
-      val list = centroids.maxBy(c => cos(c._2, v))._1
-      (id, label, v, list)
-    }.toDF("vec_id", "label", "v", "list").cache()
-    try {
-      val qv = assigned.filter(col("vec_id") === queryId).head().getSeq[Double](2).toArray
-      val probeLists = centroids.sortBy(c => -cos(c._2, qv)).take(nprobe).map(_._1).toSeq
-      val qvCol = array(qv.map(lit): _*)
-      val scored = assigned.filter(col("list").isin(probeLists: _*))
-        .withColumn("cos", cosineCol(qvCol, col("v")))
-      rankTopK(scored, k)
-    } finally { assigned.unpersist(); () }
-  }
-
-  /** ANN top-k: candidates = all buckets within Hamming distance
-    * `probeRadius` of the query's bucket (multi-probe LSH), ranked by
-    * exact cosine. radius 2 over 8 planes probes 37/256 buckets — ~7x
-    * pruning that holds at any corpus size. */
-  def annTopK(embeddings: DataFrame, queryId: Long, k: Int, nPlanes: Int = 8,
-              probeRadius: Int = 2): DataFrame = {
-    val b = bucketed(embeddings, nPlanes).cache()
-    try {
-      val qRow = b.filter(col("vec_id") === queryId).head()
-      val qBucket = qRow.getInt(3)
-      val probeBuckets = (0 until (1 << nPlanes))
-        .filter(m => Integer.bitCount(m) <= probeRadius)
-        .map(m => qBucket ^ m)
-      val qv = array(qRow.getSeq[Double](2).map(lit): _*)
-      val cand = b.filter(col("bucket").isin(probeBuckets: _*))
-        .withColumn("cos", cosineCol(qv, col("v")))
-      rankTopK(cand, k)
-    } finally { b.unpersist(); () }
-  }
+  // The IVF and LSH QUERY paths live in [[AnnIndex]]: the index build
+  // (k-means training + assignment, bucket table) is a persisted,
+  // lineage-checkpointed artifact partitioned by the probe key, and a
+  // query is a partition-pruned read — never a per-query corpus job.
+  // This object keeps the shared primitives (planes/bucketOf/bucketed,
+  // kmeansCentroids, cos, the bounded rankTopK plan).
 }

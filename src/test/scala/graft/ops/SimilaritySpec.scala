@@ -15,9 +15,10 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(first.getDouble(3) - 1.0) < 1e-12)
   }
 
-  test("ANN recall@10 >= 0.8 on clustered embeddings (where LSH applies)") {
+  /** Deterministic clustered corpus: 10 well-separated centers, tight
+    * noise — the regime where LSH/IVF pruning applies. */
+  private lazy val clustered = {
     import spark.implicits._
-    // deterministic clustered corpus: 10 well-separated centers, tight noise
     val dims = 64
     def h(a: Int, b: Int): Double = Similarity.planeComponent(a * 131 + 7, b)
     val centers = Array.tabulate(10)(k => {
@@ -25,48 +26,88 @@ class SimilaritySpec extends SparkSuite {
       val n = math.sqrt(c.map(x => x * x).sum)
       c.map(_ / n)
     })
-    val vecs = (0 until 400).map { id =>
+    (0 until 400).map { id =>
       val k = id % 10
       val v = Array.tabulate(dims)(i => centers(k)(i) + 0.08 * h(1000 + id, i))
       (id.toLong, k, v.map(_.toFloat).toSeq)
     }.toDF("vec_id", "label", "embedding")
-    val exact = Similarity.cosineTopK(vecs, 0L, 10).collect().map(_.getLong(1)).toSet
-    val ann = Similarity.annTopK(vecs, 0L, 10).collect().map(_.getLong(1)).toSet
+  }
+
+  private def qvOf(df: org.apache.spark.sql.DataFrame, id: Long): Array[Double] =
+    df.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+
+  private def tmpIdx(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"ann_${tag}_").toString
+
+  test("LSH ANN (persisted buckets) recall@10 >= 0.8 on clustered embeddings") {
+    val idx = tmpIdx("lsh")
+    assert(AnnIndex.ensureLsh(spark, clustered, idx, srcPath = "n/a"))
+    val exact = Similarity.cosineTopK(clustered, 0L, 10).collect().map(_.getLong(1)).toSet
+    val ann = AnnIndex.lshQuery(spark, idx, qvOf(clustered, 0L), 10)
+      .collect().map(_.getLong(1)).toSet
     val recall = exact.intersect(ann).size / 10.0
     info(s"ANN recall@10 on clustered corpus = $recall")
     assert(recall >= 0.8, s"recall $recall")
   }
 
-  test("IVF recall@10 >= 0.8 on clustered embeddings; exact on probed lists") {
-    import spark.implicits._
-    val dims = 64
-    def h(a: Int, b: Int): Double = Similarity.planeComponent(a * 131 + 7, b)
-    val centers = Array.tabulate(10)(k => {
-      val c = Array.tabulate(dims)(i => h(k, i))
-      val n = math.sqrt(c.map(x => x * x).sum)
-      c.map(_ / n)
-    })
-    val vecs = (0 until 400).map { id =>
-      val k = id % 10
-      val v = Array.tabulate(dims)(i => centers(k)(i) + 0.08 * h(1000 + id, i))
-      (id.toLong, k, v.map(_.toFloat).toSeq)
-    }.toDF("vec_id", "label", "embedding")
-    val exact = Similarity.cosineTopK(vecs, 0L, 10).collect().map(_.getLong(1)).toSet
-    val ivf = Similarity.ivfTopK(vecs, 0L, 10, nlist = 16, nprobe = 4).collect()
+  test("IVF (persisted centroids+assignment) recall@10 >= 0.8 on clustered embeddings") {
+    val idx = tmpIdx("ivf")
+    assert(AnnIndex.ensureIvf(spark, clustered, idx, srcPath = "n/a"))
+    val exact = Similarity.cosineTopK(clustered, 0L, 10).collect().map(_.getLong(1)).toSet
+    val ivf = AnnIndex.ivfQuery(spark, idx, qvOf(clustered, 0L), 10).collect()
     val recall = exact.intersect(ivf.map(_.getLong(1)).toSet).size / 10.0
     info(s"IVF recall@10 on clustered corpus = $recall")
     assert(recall >= 0.8, s"recall $recall")
     assert(ivf.minBy(_.getLong(0)).getLong(1) === 0L) // query retrieves itself
   }
 
+  test("ANN build checkpoint: re-ensure is a no-op; marker-less artifacts rebuild") {
+    val idx = tmpIdx("resume")
+    val src = "/root/testdata/sf0.001/embeddings.parquet"
+    assert(AnnIndex.ensureIvf(spark, emb, idx, src), "first ensure must build")
+    assert(!AnnIndex.ensureIvf(spark, emb, idx, src), "matching lineage must skip")
+    // different params -> different lineage -> rebuild
+    assert(AnnIndex.ensureIvf(spark, emb, idx, src,
+      AnnIndex.IvfConfig(nlist = 8)), "changed params must rebuild")
+    // simulated crash between artifact write and marker commit
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idx, "_built"))
+    assert(AnnIndex.ensureIvf(spark, emb, idx, src,
+      AnnIndex.IvfConfig(nlist = 8)), "missing marker must rebuild")
+    assert(AnnIndex.ivfQuery(spark, idx, qvOf(emb, 0L), 5).count() === 5)
+  }
+
   test("ANN on near-random embeddings: exact scores, query self-retrieval, real pruning") {
-    val ann = Similarity.annTopK(emb, 0L, 10).collect()
+    val idx = tmpIdx("lsh_rand")
+    AnnIndex.ensureLsh(spark, emb, idx, srcPath = "n/a")
+    val ann = AnnIndex.lshQuery(spark, idx, qvOf(emb, 0L), 10).collect()
     val first = ann.minBy(_.getLong(0))
     assert(first.getLong(1) === 0L && math.abs(first.getDouble(3) - 1.0) < 1e-12)
     // returned cosines equal the brute-force cosines for the same ids
     val exact = Similarity.cosineTopK(emb, 0L, emb.count().toInt).collect()
       .map(r => r.getLong(1) -> r.getDouble(3)).toMap
     ann.foreach(r => assert(r.getDouble(3) === exact(r.getLong(1))))
+  }
+
+  test("probe-only query plans: one partition-pruned read of the persisted artifact") {
+    val ivfIdx = tmpIdx("ivf_plan"); val lshIdx = tmpIdx("lsh_plan")
+    AnnIndex.ensureIvf(spark, emb, ivfIdx, srcPath = "n/a")
+    AnnIndex.ensureLsh(spark, emb, lshIdx, srcPath = "n/a")
+    val qv = qvOf(emb, 0L)
+    for ((plan, key) <- Seq(
+      Similarity.topKPlanned(AnnIndex.ivfCandidates(spark, ivfIdx, qv), 10)
+        .queryExecution.executedPlan.toString -> "list",
+      Similarity.topKPlanned(AnnIndex.lshCandidates(spark, lshIdx, qv), 10)
+        .queryExecution.executedPlan.toString -> "bucket")) {
+      val scans = "FileScan parquet".r.findAllMatchIn(plan).size
+      assert(scans === 1, s"query path must read ONLY the artifact:\n$plan")
+      assert(plan.contains(s"PartitionFilters: [$key#") ||
+        plan.contains(s"PartitionFilters: [isnotnull($key#") ||
+        plan.contains(s"PartitionFilters: [$key"),
+        s"probe must partition-prune on $key:\n$plan")
+      assert(!plan.contains("InMemoryTableScan") && !plan.contains("InMemoryRelation"),
+        s"no per-query corpus cache in the probe plan:\n$plan")
+    }
   }
 
   test("ANN candidates are a strict subset of the corpus (bucket pruning happens)") {
