@@ -26,6 +26,20 @@ import graft.metrics.Metrics
   */
 object Bench {
 
+  /** Serving-throughput floor (queries/sec at sf0.1 on tmpfs): a WAND
+    * serving regression must fail the bench as loudly as a broken query.
+    * The engine measures 19-29 qps on this VM (BENCH_r02/BASELINE.md);
+    * 10 sits far below the noise band but catches any structural
+    * regression (index back on virtio disk, lost fan-out, per-batch
+    * rebuild). Override via GRAFT_QPS_FLOOR (0 disables, e.g. on a
+    * corpus where the floor is not calibrated). */
+  val DefaultQpsFloor = 10.0
+
+  def qpsFloorViolation(qps: Double, floor: Double): Option[String] =
+    if (floor > 0 && qps >= 0 && qps < floor)
+      Some(f"wand_queries_per_sec $qps%.1f below floor $floor%.1f")
+    else None
+
   private val HeadlineQueries = Seq(
     "q1_agg", "q3_topk", "q_count_lineitem", "q_topk_events", "q_dedup_latest",
     "q_antijoin", "q_validation_counts", "q_warnings_top", "q_sample_head",
@@ -185,7 +199,14 @@ object Bench {
         s""""scaling":{"cores_n":$scaleN,"cores_4n":${scaleN * 4},"docs_per_sec_n":${thr2.round},""" +
         s""""docs_per_sec_4n":${thr8.round},"efficiency":${math.rint(eff * 1000) / 1000}},""" +
         s""""query_metrics":${metrics.json}}""")
-    // fail loud: any broken headline query fails the bench run
+    // fail loud: any broken headline query fails the bench run, and so
+    // does a serving-throughput regression below the floor
+    val floor = sys.env.get("GRAFT_QPS_FLOOR").map(_.toDouble)
+      .getOrElse(if (skipQueries) 0.0 else DefaultQpsFloor)
+    qpsFloorViolation(qps, floor).foreach { msg =>
+      System.err.println(s"[bench] $msg")
+      sys.exit(1)
+    }
     if (failures.nonEmpty) sys.exit(1)
   }
 }

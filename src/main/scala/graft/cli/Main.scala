@@ -38,7 +38,8 @@ object Main {
       blockSize = i("GRAFT_BLOCK_SIZE", d.blockSize),
       shards = i("GRAFT_SHARDS", d.shards),
       buildPartitions = i("GRAFT_BUILD_PARTITIONS", d.buildPartitions),
-      saltTargetPostings = l("GRAFT_SALT_TARGET", d.saltTargetPostings))
+      saltTargetPostings = l("GRAFT_SALT_TARGET", d.saltTargetPostings),
+      serveTargetPostings = l("GRAFT_SERVE_TARGET", d.serveTargetPostings))
   }
 
   /** Masks credential values in echoed configuration — the reference's

@@ -23,8 +23,13 @@ final case class EngineConfig(
     saltTargetPostings: Long = 1L << 20,
     // serving: WAND runs per (query, doc-range) task and merges the
     // bounded top-k lists — per-task memory is the query's postings
-    // within ONE range, never a whole hot term (ES-shard-style fan-out)
-    serveDocRanges: Int = 8,
+    // within ONE range, never a whole hot term (ES-shard-style fan-out).
+    // The RANGE COUNT is derived from index stats at serve time
+    // (ceil(max term df / serveTargetPostings), capped at
+    // serveMaxRanges), so the per-task decode bound is an invariant of
+    // the config: corpus growth grows the fan-out, never the task.
+    serveTargetPostings: Long = 1L << 16,
+    serveMaxRanges: Int = 1024,
     // tokenizer envelope (mirrored in graft.analyze.CodeTokenizer)
     minTokenLen: Int = 2,
     maxTokenLen: Int = 64
@@ -39,12 +44,13 @@ final case class EngineConfig(
   require(shards >= 1 && shards <= 100000, s"shards out of range: $shards")
   require(buildPartitions >= 1, s"buildPartitions out of range: $buildPartitions")
   require(saltTargetPostings >= 16, s"saltTargetPostings too small: $saltTargetPostings")
-  // cap matches realistic fan-out (~executor count) AND the serving
-  // layer's O(serveDocRanges) range-id fold — a deeper chained Catalyst
-  // expression would bloat codegen (use a binary-search expression like
-  // RangeSaltExpr before ever raising this)
-  require(serveDocRanges >= 1 && serveDocRanges <= 1024,
-    s"serveDocRanges out of range: $serveDocRanges")
+  require(serveTargetPostings >= 16,
+    s"serveTargetPostings too small: $serveTargetPostings")
+  // fan-out cap: range assignment binary-searches the boundaries
+  // (RangeSaltExpr), so deep fan-outs stay codegen-safe; the cap bounds
+  // the quantile table and the per-query task count
+  require(serveMaxRanges >= 1 && serveMaxRanges <= 65536,
+    s"serveMaxRanges out of range: $serveMaxRanges")
   require(minTokenLen >= 1 && maxTokenLen >= minTokenLen, "token length envelope invalid")
 }
 

@@ -265,13 +265,25 @@ object Wand {
     /** (term, df) — metadata-only columns, cached. */
     private val dfTable = seg.groupBy("term").agg(sum("n_postings").as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    /** Fan-out DERIVED from index stats, not a knob: enough ranges that
+      * even the hottest term's per-task share stays near
+      * cfg.serveTargetPostings. The per-task decode bound is thereby an
+      * invariant under corpus growth — a bigger corpus gets MORE range
+      * tasks, never bigger ones (WandSpec asserts the same bound at two
+      * corpus sizes with the same target). One tiny metadata agg at
+      * handle init, amortized across query batches. */
+    val serveRanges: Int = {
+      val r = dfTable.agg(max(col("df"))).head()
+      val maxDf = if (r.isNullAt(0)) 0L else r.getLong(0)
+      math.min(cfg.serveMaxRanges.toLong, math.max(1L,
+        (maxDf + cfg.serveTargetPostings - 1) / cfg.serveTargetPostings)).toInt
+    }
     /** Doc-range boundaries: (R-1)-quantiles of docmap doc_id, read once
       * (tiny); range i covers [bounds(i-1), bounds(i)). */
     private val rangeBounds: Array[Long] =
-      if (cfg.serveDocRanges <= 1) Array.empty
+      if (serveRanges <= 1) Array.empty
       else {
-        val qs = (1 until cfg.serveDocRanges)
-          .map(i => i.toDouble / cfg.serveDocRanges)
+        val qs = (1 until serveRanges).map(i => i.toDouble / serveRanges)
         spark.read.parquet(s"$indexDir/docmap")
           .select(expr(s"approx_percentile(doc_id, array(${qs.mkString(",")}))"))
           .head().getSeq[Long](0).distinct.sorted.toArray
@@ -288,9 +300,13 @@ object Wand {
       val nL = n; val avg = avgdl
       val bounds = rangeBounds
       val acc = taskPostingsAcc
-      // range id of a doc = number of boundaries <= doc (tiny fold, codegen'd)
+      // range id of a doc = number of boundaries <= doc — binary search
+      // (RangeSaltExpr with nsalts = buckets), codegen-safe at ANY
+      // fan-out depth (a chained when()-fold would bloat generated code
+      // past a few dozen ranges)
       def ridOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        bounds.foldLeft(lit(0))((a, bd) => a + when(c >= bd, 1).otherwise(0))
+        if (bounds.isEmpty) lit(0)
+        else graft.index.RangeSaltExpr.saltCol(c, lit(bounds.length + 1), bounds)
       // per-term df rides along via a broadcast join with the cached
       // metadata table — no per-batch driver collect round-trip
       val ranged = seg.filter(col("term").isin(allTerms: _*)) // pushed to parquet row groups

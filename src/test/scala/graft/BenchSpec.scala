@@ -23,4 +23,13 @@ class BenchSpec extends SparkSuite {
     assert(failures.map(_._1).toSet === Set("broken", "lazy_broken"))
     assert(failures.toMap.apply("broken").contains("boom"))
   }
+
+  test("serving qps floor: below-floor fails, at/above passes, 0 disables, skip-mode exempt") {
+    assert(Bench.qpsFloorViolation(4.2, Bench.DefaultQpsFloor).isDefined)
+    assert(Bench.qpsFloorViolation(26.8, Bench.DefaultQpsFloor).isEmpty)
+    assert(Bench.qpsFloorViolation(10.0, Bench.DefaultQpsFloor).isEmpty)
+    assert(Bench.qpsFloorViolation(4.2, 0.0).isEmpty, "floor 0 disables the gate")
+    assert(Bench.qpsFloorViolation(-1.0, Bench.DefaultQpsFloor).isEmpty,
+      "scaling-only mode (qps sentinel -1) is exempt")
+  }
 }

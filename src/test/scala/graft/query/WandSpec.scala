@@ -87,11 +87,10 @@ class WandSpec extends SparkSuite {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_wand_hot_").toString
     try {
-      // one stopword-class term in EVERY doc; segment rows cap at
-      // blockSize x 256 = 4096 postings, so the hot term spans >= 8 rows,
-      // each covering a narrow contiguous doc range
+      // one stopword-class term in EVERY doc; fan-out derives from the
+      // hot df: 32768 / 4096 = 8 doc ranges
       val c = cfg.copy(shards = 2, blockSize = 16,
-        saltTargetPostings = 64, serveDocRanges = 8)
+        saltTargetPostings = 64, serveTargetPostings = 4096)
       val nDocs = 32768L
       val docs = spark.range(0L, nDocs, 1L, 8).toDF("doc_id")
         .selectExpr("doc_id",
@@ -118,6 +117,40 @@ class WandSpec extends SparkSuite {
       assert(maxTask <= nDocs / 2,
         s"a task pinned $maxTask of $nDocs hot postings — fan-out failed")
     } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("per-task decode bound is an invariant: same target, two corpus sizes") {
+    import spark.implicits._
+    // the SAME serveTargetPostings at 4x the corpus must yield ~the same
+    // per-task bound via MORE ranges — never bigger tasks
+    val c = cfg.copy(shards = 2, blockSize = 16,
+      saltTargetPostings = 64, serveTargetPostings = 1024)
+    def run(nDocs: Long): (Int, Long) = {
+      val dir = Files.createTempDirectory(s"graft_wand_inv_$nDocs").toString
+      try {
+        val docs = spark.range(0L, nDocs, 1L, 8).toDF("doc_id")
+          .selectExpr("doc_id",
+            "concat('hotword filler', doc_id % 97, ' pad', doc_id % 31) AS text")
+        SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, c)
+        SegmentBuilder.buildAll(spark, dir, c)
+        val acc = spark.sparkContext.collectionAccumulator[java.lang.Long](s"tp$nDocs")
+        val handle = new Wand.Handle(spark, dir, c)
+        handle.topK(Seq(1 -> "hotword"), acc).collect()
+        handle.close()
+        val maxTask = acc.value.toArray
+          .map(_.asInstanceOf[java.lang.Long].longValue).max
+        (handle.serveRanges, maxTask)
+      } finally new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+    val (ranges1, max1) = run(4096L)
+    val (ranges2, max2) = run(16384L)
+    assert(ranges1 === 4 && ranges2 === 16,
+      s"fan-out must grow with the corpus: got $ranges1 -> $ranges2")
+    // slack 2x: boundary-overlapping rows count in both adjacent ranges
+    val bound = c.serveTargetPostings * 2
+    assert(max1 <= bound, s"small corpus: task pinned $max1 > $bound")
+    assert(max2 <= bound, s"big corpus: task pinned $max2 > $bound — " +
+      "the bound must NOT degrade with corpus growth")
   }
 
   test("ties break deterministically under WAND (duplicate docs)") {
