@@ -25,15 +25,53 @@ import graft.query.Wand
   */
 object Main {
 
-  /** Env-layered config (GRAFT_* overrides, like the reference's
-    * ELASTICSEARCH_URL-style overrides). */
+  /** Settings-file key -> env key (the file uses the reference's
+    * property-name style, appsettings.json's MigrationSettings section;
+    * env vars keep the GRAFT_* convention). */
+  val FileKeyToEnv: Map[String, String] = Map(
+    "k1" -> "GRAFT_K1", "b" -> "GRAFT_B", "topK" -> "GRAFT_TOPK",
+    "blockSize" -> "GRAFT_BLOCK_SIZE", "shards" -> "GRAFT_SHARDS",
+    "buildPartitions" -> "GRAFT_BUILD_PARTITIONS",
+    "saltTargetPostings" -> "GRAFT_SALT_TARGET",
+    "serveTargetPostings" -> "GRAFT_SERVE_TARGET")
+
+  /** Load a flat JSON settings file. Mirrors the reference's
+    * AddJsonFile(optional: false) semantics
+    * (ConfigurationService.cs:140-150): a NAMED but missing file fails
+    * loud, and so does an unknown key (the validator battery would
+    * silently ignore a typo otherwise). */
+  def loadConfigFile(path: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p))
+      throw new IllegalArgumentException(s"config file not found: $path")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(p))
+    require(node != null && node.isObject, s"config file must be a JSON object: $path")
+    val it = node.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val e = it.next()
+      val env = FileKeyToEnv.getOrElse(e.getKey,
+        throw new IllegalArgumentException(
+          s"unknown config key '${e.getKey}' in $path " +
+            s"(known: ${FileKeyToEnv.keys.toSeq.sorted.mkString(", ")})"))
+      b += env -> e.getValue.asText()
+    }
+    b.result()
+  }
+
+  /** Layered config, reference order (ConfigurationService.cs:63-134):
+    * defaults, then the JSON settings file (GRAFT_CONFIG names it), then
+    * GRAFT_* env overrides — env wins, like OverrideFromEnvironment. */
   def configFromEnv(env: Map[String, String] = sys.env): EngineConfig = {
+    val fromFile = env.get("GRAFT_CONFIG").map(loadConfigFile).getOrElse(Map.empty)
+    val layered = fromFile ++ env.view.filterKeys(_.startsWith("GRAFT_")).toMap
     val d = EngineConfig.default
-    def i(k: String, v: Int) = env.get(k).map(_.toInt).getOrElse(v)
-    def l(k: String, v: Long) = env.get(k).map(_.toLong).getOrElse(v)
+    def i(k: String, v: Int) = layered.get(k).map(_.toInt).getOrElse(v)
+    def l(k: String, v: Long) = layered.get(k).map(_.toLong).getOrElse(v)
     EngineConfig(
-      k1 = env.get("GRAFT_K1").map(_.toDouble).getOrElse(d.k1),
-      b = env.get("GRAFT_B").map(_.toDouble).getOrElse(d.b),
+      k1 = layered.get("GRAFT_K1").map(_.toDouble).getOrElse(d.k1),
+      b = layered.get("GRAFT_B").map(_.toDouble).getOrElse(d.b),
       topK = i("GRAFT_TOPK", d.topK),
       blockSize = i("GRAFT_BLOCK_SIZE", d.blockSize),
       shards = i("GRAFT_SHARDS", d.shards),

@@ -13,6 +13,34 @@ class MainSpec extends SparkSuite {
       Main.configFromEnv(Map("GRAFT_TOPK" -> "0"))) // settings validator battery
   }
 
+  test("config-file layer: defaults < file < env (reference ConfigurationService order)") {
+    val f = java.nio.file.Files.createTempFile("graft_cfg_", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"topK": 42, "shards": 3, "k1": 0.8}""")
+    // file values apply over defaults
+    val cfg1 = Main.configFromEnv(Map("GRAFT_CONFIG" -> f.toString))
+    assert(cfg1.topK === 42 && cfg1.shards === 3 && cfg1.k1 === 0.8)
+    assert(cfg1.b === 0.75, "unset keys keep defaults")
+    // env overrides the file (OverrideFromEnvironment semantics)
+    val cfg2 = Main.configFromEnv(Map(
+      "GRAFT_CONFIG" -> f.toString, "GRAFT_TOPK" -> "7"))
+    assert(cfg2.topK === 7, "env must win over the file")
+    assert(cfg2.shards === 3, "file keys without env overrides survive")
+    // a NAMED but missing file fails loud (AddJsonFile optional:false)
+    assertThrows[IllegalArgumentException](
+      Main.configFromEnv(Map("GRAFT_CONFIG" -> "/no/such/file.json")))
+    // unknown keys fail loud (a typo must not silently no-op)
+    val bad = java.nio.file.Files.createTempFile("graft_cfg_bad_", ".json")
+    java.nio.file.Files.writeString(bad, """{"topk": 5}""")
+    assertThrows[IllegalArgumentException](
+      Main.configFromEnv(Map("GRAFT_CONFIG" -> bad.toString)))
+    // file values run through the same settings validator battery
+    val oob = java.nio.file.Files.createTempFile("graft_cfg_oob_", ".json")
+    java.nio.file.Files.writeString(oob, """{"topK": 0}""")
+    assertThrows[IllegalArgumentException](
+      Main.configFromEnv(Map("GRAFT_CONFIG" -> oob.toString)))
+  }
+
   test("ES index-name validation mirrors the reference's rule list") {
     import graft.config.IndexNaming._
     // accepted (MigrationSettingsValidator.cs:114-144)

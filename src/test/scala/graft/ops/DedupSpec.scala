@@ -105,6 +105,30 @@ class DedupSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("star contraction converges on a diameter-200 path in O(log d) rounds") {
+    import spark.implicits._
+    // a 201-vertex path with shuffled ids (min sits mid-chain) — plain
+    // min-label propagation needs ~200 rounds and used to throw at the
+    // 50-round cap; large-star/small-star needs ~log2(200)
+    def vid(i: Int): Long = (math.floorMod(Dedup.fnv1a64(s"pathvid$i"), 100000L)
+      * 1000L + i).abs
+    val ids = (0 to 200).map(vid)
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
+    val got = Dedup.components(edges, maxRounds = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mn = ids.min
+    assert(got.size === 201)
+    assert(got.values.forall(_ == mn), "every vertex must label to the component min")
+  }
+
+  test("components tolerates self-loops and duplicate/reversed edges") {
+    import spark.implicits._
+    val edges = Seq((5L, 5L), (7L, 8L), (8L, 7L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("near-dup clusters: canonical = min doc of each true near-dup component") {
     val got = Dedup.nearDupClusters(corpus, col("doc_id"), col("text"), 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
