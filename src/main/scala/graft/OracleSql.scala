@@ -169,19 +169,10 @@ object OracleSql {
        |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
   }
 
-  /** Phrase oracle: per-phrase candidate sets via m-gram containment,
-    * then the standard BM25 pipeline on distinct terms. */
-  private def ftPhrase: String = {
-    val analyzed = SparkEntry.PhraseQuerySet
-      .map { case (qid, text) => (qid, CodeTokenizer.tokenize(text).toSeq) }
-      .filter(_._2.nonEmpty)
-    val candSelects = analyzed.map { case (qid, terms) =>
-      val m = terms.length
-      val gram = (0 until m).map(j => s"tokens[i+$j]").mkString(" || ' ' || ")
-      s"""SELECT $qid AS qid, doc_id FROM toks
-         |  WHERE list_contains(list_transform(range(1, greatest(len(tokens) - $m + 2, 1)),
-         |    i -> $gram), '${terms.mkString(" ")}')""".stripMargin
-    }
+  /** Shared phrase-scoring scaffold: per-phrase candidate SELECTs
+    * (qid, doc_id), then the standard BM25 pipeline on distinct terms. */
+  private def phraseScaffold(analyzed: Seq[(Int, Seq[String])],
+                             candSelects: Seq[String]): String = {
     val qvals = analyzed.flatMap { case (qid, ts) =>
       ts.distinct.sorted.map(t => s"($qid, '$t')")
     }
@@ -204,6 +195,58 @@ object OracleSql {
        |       FROM sc)
        |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
        |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** Adjacency (slop 0) phrase oracle: candidates via m-gram shingle
+    * containment — deliberately a DIFFERENT formulation than the
+    * engine's positional-postings path, so the two derivations check
+    * each other. */
+  private def ftPhrase: String = {
+    val analyzed = SparkEntry.PhraseQuerySet
+      .map { case (qid, text) => (qid, CodeTokenizer.tokenize(text).toSeq) }
+      .filter(_._2.nonEmpty)
+    val candSelects = analyzed.map { case (qid, terms) =>
+      val m = terms.length
+      val gram = (0 until m).map(j => s"tokens[i+$j]").mkString(" || ' ' || ")
+      s"""SELECT $qid AS qid, doc_id FROM toks
+         |  WHERE list_contains(list_transform(range(1, greatest(len(tokens) - $m + 2, 1)),
+         |    i -> $gram), '${terms.mkString(" ")}')""".stripMargin
+    }
+    phraseScaffold(analyzed, candSelects)
+  }
+
+  /** Ordered-proximity (slop > 0) phrase oracle: EXISTS a strictly
+    * increasing position chain p0 < ... < p{m-1}, one position per
+    * phrase offset, with total slack p{m-1} - p0 - (m-1) <= slop —
+    * the same ordered contract as [[graft.query.OrderedSpanMatchExpr]],
+    * expressed over DuckDB token arrays with nested list_filter
+    * lambdas. */
+  private def ftPhraseSlop: String = {
+    val slop = SparkEntry.PhraseSlop
+    val analyzed = SparkEntry.PhraseSlopQuerySet
+      .map { case (qid, text) => (qid, CodeTokenizer.tokenize(text).toSeq) }
+      .filter(_._2.nonEmpty)
+    def positions(t: String) =
+      s"list_filter(range(1, len(tokens)+1), i -> tokens[i] = '$t')"
+    def chain(terms: Seq[String]): String = {
+      val m = terms.length
+      if (m == 1) s"len(${positions(terms.head)}) > 0"
+      else {
+        def nest(j: Int): String = {
+          val prev = if (j == 0) "" else s"p$j > p${j - 1} AND "
+          val slack =
+            if (j == m - 1) s"p$j - p0 - ${m - 1} <= $slop"
+            else nest(j + 1)
+          val body = if (j == m - 1) s"$prev$slack" else s"$prev($slack)"
+          s"len(list_filter(${positions(terms(j))}, p$j -> $body)) > 0"
+        }
+        nest(0)
+      }
+    }
+    val candSelects = analyzed.map { case (qid, terms) =>
+      s"SELECT $qid AS qid, doc_id FROM toks WHERE ${chain(terms)}"
+    }
+    phraseScaffold(analyzed, candSelects)
   }
 
   /** ES-JSON source oracle: DuckDB read_json over the SAME deterministic
@@ -486,6 +529,7 @@ object OracleSql {
     "ft_bm25_topk"        -> ftBm25(),
     "ft_bm25_conj"        -> ftBm25(conjunctive = true),
     "ft_phrase"           -> ftPhrase,
+    "ft_phrase_slop"      -> ftPhraseSlop,
     "ft_wand_topk"        -> ftBm25(), // WAND must be rank-identical to the declarative path
     "ing_docmap"          -> ingDocmap,
     "q_ts_coercion"       -> qTsCoercion,

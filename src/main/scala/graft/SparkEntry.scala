@@ -250,6 +250,27 @@ object SparkEntry {
       .select(col("qid"), col("rank"), col("doc_id"),
         format_string("%.4f", col("score")).as("score"))
 
+  /** Ordered-proximity query set for slop > 0 (terms common enough to
+    * gap-match, a rare-term pair, an order-reversal probe, an m=3
+    * phrase, and a single-term degenerate). */
+  val PhraseSlopQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "spark query",
+    2 -> "hash sort",
+    3 -> "table dup",
+    4 -> "data stream window",
+    5 -> "value")
+  val PhraseSlop = 2
+
+  /** ES match_phrase with slop: ordered proximity (total slack <= slop)
+    * from positional postings — the candidates are an m-way positional
+    * intersection, never a source-text recheck. Oracle: the same
+    * ordered-chain EXISTS over DuckDB token arrays. */
+  private def qFtPhraseSlop(s: SparkSession, dir: String): DataFrame =
+    BM25.phraseTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      PhraseSlopQuerySet, slop = PhraseSlop)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
   /** Conjunctive (ES bool/must) BM25: docs must match every analyzed
     * term; oracle enforces the same with HAVING count = n_terms. */
   private def qFtBm25Conj(s: SparkSession, dir: String): DataFrame =
@@ -606,6 +627,7 @@ object SparkEntry {
     "ft_bm25_topk"        -> (qFtBm25 _),
     "ft_bm25_conj"        -> (qFtBm25Conj _),
     "ft_phrase"           -> (qFtPhrase _),
+    "ft_phrase_slop"      -> (qFtPhraseSlop _),
     "ft_wand_topk"        -> (qFtWand _),
     "ing_docmap"          -> (qIngDocmap _),
     "q_ts_coercion"       -> (qTsCoercion _),

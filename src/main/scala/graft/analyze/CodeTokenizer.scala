@@ -91,6 +91,16 @@ object CodeTokenizer {
     GraftColumnBridge.toColumn(CodeTokenizeTfExpr(GraftColumnBridge.toExpression(c)))
   }
 
+  /** struct(doclen, pairs: array&lt;struct&lt;term, tf, positions&gt;&gt;) in one
+    * eval — see [[CodeTokenizePosExpr]]. Positions index the KEPT token
+    * sequence (adjacency is defined after stopword/length filtering,
+    * exactly like the shingle-based phrase semantics and the DuckDB
+    * oracle's token arrays). */
+  def tokenPosCol(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.toColumn(CodeTokenizePosExpr(GraftColumnBridge.toExpression(c)))
+  }
+
   /** DuckDB SQL fragment producing the same token array from column
     * expression `col`. Kept mechanically in sync with [[tokenize]]. */
   def sqlTokenArray(col: String): String =
@@ -164,6 +174,56 @@ case class CodeTokenizeTfExpr(child: org.apache.spark.sql.catalyst.expressions.E
   }
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): CodeTokenizeTfExpr = copy(c)
+}
+
+/** Tokenize + per-document POSITIONAL postings in one eval:
+  * struct(doclen, array(struct(term, tf, positions))), pairs in
+  * ascending term order, positions ascending indices into the kept
+  * token sequence. The positional twin of [[CodeTokenizeTfExpr]] — one
+  * pass, no shuffle; tf == positions.length by construction. */
+case class CodeTokenizePosExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("doclen", LongType, nullable = false),
+    StructField("pairs", ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false),
+      StructField("positions", ArrayType(IntegerType, containsNull = false),
+        nullable = false))), containsNull = false),
+      nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = CodeTokenizer.tokenize(v.toString)
+    val posByTerm = new java.util.TreeMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < toks.length) {
+      posByTerm.computeIfAbsent(toks(i), _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+      i += 1
+    }
+    val pairs = new Array[Any](posByTerm.size)
+    var j = 0
+    val it = posByTerm.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val ps = e.getValue
+      val parr = new Array[Any](ps.length)
+      var k = 0
+      while (k < ps.length) { parr(k) = ps(k); k += 1 }
+      pairs(j) = InternalRow(UTF8String.fromString(e.getKey), ps.length.toLong,
+        new GenericArrayData(parr))
+      j += 1
+    }
+    InternalRow(toks.length.toLong, new GenericArrayData(pairs))
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): CodeTokenizePosExpr = copy(c)
 }
 
 /** Word n-gram shingles over an array<string> column — native sliding

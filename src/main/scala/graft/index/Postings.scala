@@ -44,6 +44,19 @@ object Postings {
       .select(col("p.term").as("term"), col("doc_id"), col("doclen"),
         col("p.tf").as("tf"))
 
+  /** POSITIONAL postings (term, doc_id, doclen, tf, positions) — the
+    * payload phrase/proximity queries need. Same zero-shuffle shape as
+    * [[build]]: positions are a per-document quantity computed inside
+    * the tokenizer expression ([[CodeTokenizer.tokenPosCol]]), ascending
+    * indices into the kept token sequence; tf == size(positions). */
+  def buildPositional(docs: DataFrame, idCol: Column, contentCol: Column): DataFrame =
+    docs.select(idCol.cast("long").as("doc_id"),
+        CodeTokenizer.tokenPosCol(contentCol).as("t"))
+      .select(col("doc_id"), col("t.doclen").as("doclen"),
+        explode(col("t.pairs")).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"), col("doclen"),
+        col("p.tf").as("tf"), col("p.positions").as("positions"))
+
   /** Document frequency per term: (term, df). */
   def docFreq(postings: DataFrame): DataFrame =
     postings.groupBy("term").agg(count(lit(1)).as("df"))

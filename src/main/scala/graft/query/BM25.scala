@@ -64,16 +64,24 @@ object BM25 {
     scoreAndRank(weighted, cfg.topK, conjunctive)
   }
 
-  /** Phrase top-k (ES match_phrase semantics, adjacency slop 0): a doc
-    * qualifies only if the analyzed phrase terms occur consecutively in
-    * order; qualifying docs are scored with corpus-wide BM25 stats over
-    * the phrase's distinct terms. Adjacency is tested as membership of
-    * the joined phrase in the doc's m-gram shingle set — no positional
-    * payloads needed in the index (candidates are re-checked from
-    * source, the classic recheck pattern). */
+  /** Phrase top-k (ES match_phrase semantics at slop 0: the analyzed
+    * phrase tokens must occur consecutively in order; slop > 0 relaxes
+    * to ORDERED proximity with total slack <= slop — see
+    * [[OrderedSpanMatchExpr]] for the exact contract). Qualifying docs
+    * are scored with corpus-wide BM25 stats over the phrase's distinct
+    * terms.
+    *
+    * Adjacency comes from POSITIONAL postings: candidates are an m-way
+    * positional intersection over the query's terms only — ONE corpus
+    * tokenize pass total (the positional build), pruned to the phrase
+    * terms by the broadcast query join, never a per-phrase-length
+    * corpus rescan and never a source-text recheck of candidates (the
+    * round-2 design rescanned candidate text once per distinct phrase
+    * length; at 100 TB candidate text is the thing you cannot re-read). */
   def phraseTopK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
                  phrases: Seq[(Int, String)],
-                 cfg: EngineConfig = EngineConfig.default): DataFrame = {
+                 cfg: EngineConfig = EngineConfig.default,
+                 slop: Int = 0): DataFrame = {
     import spark.implicits._
     import graft.analyze.CodeTokenizer
     val post = Postings.build(docs, idCol, contentCol)
@@ -83,28 +91,7 @@ object BM25 {
       .filter(_._2.nonEmpty)
     if (analyzed.isEmpty)
       return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
-    // indexed prefilter: a doc can only contain the phrase if it
-    // contains ALL its terms — cheap conjunctive containment from the
-    // postings we already built, so the adjacency recheck below only
-    // tokenizes candidate docs, never the whole corpus
-    val pq = analyzed.flatMap { case (qid, ts) =>
-      val d = ts.distinct
-      d.map(t => (qid, t, d.size))
-    }.toDF("pqid", "term", "n_req")
-    // materialized once (tiny: candidate ids only) when multiple
-    // distinct-phrase-length branches would otherwise re-run the
-    // postings scan; with a single branch the plan fuses and an eager
-    // checkpoint would be pure overhead
-    val prefilter0 = post.join(broadcast(pq), "term")
-      .groupBy("pqid", "doc_id")
-      .agg(count(lit(1)).as("got"), first(col("n_req")).as("n_req"))
-      .filter(col("got") === col("n_req"))
-      .select(col("pqid"), col("doc_id"))
-    val prefilter =
-      if (analyzed.map(_._2.length).distinct.size > 1)
-        prefilter0.localCheckpoint(eager = true)
-      else prefilter0
-    val candidates = phraseCandidates(docs, idCol, contentCol, analyzed, Some(prefilter))
+    val candidates = phraseCandidates(docs, idCol, contentCol, analyzed, slop)
     val qterms = analyzed
       .flatMap { case (qid, ts) =>
         val distinctSorted = ts.distinct.sorted
@@ -118,41 +105,32 @@ object BM25 {
     scoreAndRank(weighted, cfg.topK)
   }
 
-  /** Phrase candidate sets, one corpus scan per DISTINCT phrase length m
-    * (not one per phrase): the m-gram shingle array is computed once and
-    * intersected with every m-length phrase literal; matched phrases map
-    * back to qids through a broadcast lookup. Output: (qid, doc_id). */
+  /** Phrase candidate sets from positional postings, ALL phrases in one
+    * corpus pass: the (qid, phrase-offset, term) table broadcasts
+    * against the positional postings (term-pruned scan), each candidate
+    * (qid, doc) gathers its per-offset position lists, and
+    * [[OrderedSpanMatchExpr]] decides the match in one sweep. Duplicate
+    * phrase terms are handled exactly (one position list per OFFSET).
+    * Output: (qid, doc_id). */
   def phraseCandidates(docs: DataFrame, idCol: Column, contentCol: Column,
                        analyzed: Seq[(Int, Seq[String])],
-                       prefilter: Option[DataFrame] = None): DataFrame = {
+                       slop: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val byLen = analyzed.groupBy(_._2.length).toSeq.sortBy(_._1)
-    byLen.map { case (m, group) =>
-      val qids = group.map(_._1)
-      // restrict the (expensive) tokenize+shingle recheck to docs that
-      // passed the indexed all-terms prefilter for some phrase of this
-      // length; semantically a pure pruning step (shingle containment
-      // implies term containment)
-      val base = prefilter match {
-        case Some(pf) =>
-          val ids = pf.filter(col("pqid").isin(qids: _*))
-            .select(col("doc_id").as("__cand_id")).distinct()
-          docs.join(ids, idCol.cast("long") === col("__cand_id"), "left_semi")
-        case None => docs
-      }
-      val shingles = graft.ops.Dedup.shinglesColN(
-        CodeTokenizer.tokensColFast(contentCol), m)
-      val phraseLits = group.map(_._2.mkString(" ")).distinct
-      val p2q = group.map { case (qid, ts) => (ts.mkString(" "), qid) }
-        .toDF("phrase", "qid")
-      base.select(idCol.cast("long").as("doc_id"),
-          array_intersect(shingles, array(phraseLits.map(lit): _*)).as("hits"))
-        .filter(size(col("hits")) > 0)
-        .select(col("doc_id"), explode(col("hits")).as("phrase"))
-        .join(broadcast(p2q), "phrase")
-        .select(col("qid"), col("doc_id"))
-    }.reduce(_ unionAll _)
+    val posPost = Postings.buildPositional(docs, idCol, contentCol)
+    val q = analyzed.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, off) => (qid, t, off, ts.length) }
+    }.toDF("qid", "term", "off", "m")
+    posPost.join(broadcast(q), "term")
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("got"), first(col("m")).as("m"),
+        sort_array(collect_list(struct(col("off"), col("positions")))).as("lists"))
+      // every phrase offset must be present (a doc missing any term
+      // cannot match), then the ordered-span sweep decides
+      .filter(col("got") === col("m"))
+      .filter(OrderedSpanMatchExpr.matches(
+        transform(col("lists"), x => x.getField("positions")), lit(slop)))
+      .select(col("qid"), col("doc_id"))
   }
 
   /** Sum per-(qid, doc) weights in ascending term order, rank, take k.

@@ -80,6 +80,48 @@ class Bm25Spec extends SparkSuite {
     assert(conj.count() > 0)
   }
 
+  test("positional phrase semantics: duplicate terms, slop windows, order-sensitivity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dup table dup end"),        // exact "dup table dup"
+      (2L, "dup table other dup"),      // dup..table adjacent; 2nd dup gapped by 1
+      (3L, "table dup"),                // reversed order only
+      (4L, "spark xx query"),           // gap 1 (slack 1)
+      (5L, "spark xx yy zz query"),     // gap 3 (slack 3)
+      (6L, "spark query"),              // adjacent
+      (7L, "query spark")               // reversed
+    ).toDF("doc_id", "text")
+    def hits(phrase: String, slop: Int): Set[Long] =
+      BM25.phraseTopK(spark, docs, col("doc_id"), col("text"),
+        Seq(1 -> phrase), slop = slop).collect().map(_.getLong(2)).toSet
+    // slop 0 = exact adjacency; duplicate-term phrase needs BOTH dups placed
+    assert(hits("dup table dup", 0) === Set(1L))
+    assert(hits("dup table dup", 1) === Set(1L, 2L), "slack 1 admits the gapped 2nd dup")
+    assert(hits("spark query", 0) === Set(6L))
+    assert(hits("spark query", 1) === Set(4L, 6L))
+    assert(hits("spark query", 3) === Set(4L, 5L, 6L))
+    // ordered proximity: reversal never matches, at any slop
+    assert(!hits("spark query", 10).contains(7L))
+    // doc 1 "dup table dup end" genuinely contains "table dup" adjacently
+    assert(hits("table dup", 0) === Set(1L, 3L),
+      "reversed phrase matches only real occurrences of that order")
+    // m=1 degenerate: plain containment
+    assert(hits("query", 0) === Set(4L, 5L, 6L, 7L))
+  }
+
+  test("positional postings: tf == size(positions), positions index kept tokens") {
+    import spark.implicits._
+    val docs = Seq((1L, "the alpha beta the alpha")).toDF("doc_id", "text")
+    val rows = Postings.buildPositional(docs, col("doc_id"), col("text"))
+      .orderBy("term").collect()
+    // kept tokens after stopword removal: [alpha, beta, alpha]
+    val byTerm = rows.map(r => r.getString(0) ->
+      (r.getLong(3), r.getSeq[Int](4))).toMap
+    assert(byTerm("alpha") === ((2L, Seq(0, 2))))
+    assert(byTerm("beta") === ((1L, Seq(1))))
+    rows.foreach(r => assert(r.getLong(3) === r.getSeq[Int](4).size.toLong))
+  }
+
   test("deterministic docId tie-break: equal-score docs ordered by docId asc") {
     // Synthetic corpus with exact duplicates -> guaranteed score ties.
     val docs = (0L until 20L).map(i => (i, if (i % 2 == 0) "alpha beta gamma" else "delta epsilon"))

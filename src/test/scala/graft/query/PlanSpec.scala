@@ -80,18 +80,20 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("ObjectHashAggregate"), s"bounded top-k expected:\n$plan")
   }
 
-  test("phrase candidates scan the corpus once per distinct phrase length, not per phrase") {
+  test("phrase candidates: ONE positional corpus pass for ALL phrases, any length mix") {
     import graft.analyze.CodeTokenizer
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val analyzed = SparkEntry.PhraseQuerySet
       .map { case (q, t) => (q, CodeTokenizer.tokenize(t).toSeq) }
       .filter(_._2.nonEmpty)
-    val distinctLens = analyzed.map(_._2.length).distinct.size
-    assert(distinctLens < analyzed.size, "fixture must mix phrase lengths")
+    assert(analyzed.map(_._2.length).distinct.size > 1, "fixture must mix phrase lengths")
     val plan = BM25.phraseCandidates(docs, col("doc_id"), col("text"), analyzed)
       .queryExecution.executedPlan.toString
     val scans = "FileScan parquet".r.findAllMatchIn(plan).size
-    assert(scans == distinctLens,
-      s"expected $distinctLens corpus scans (one per distinct m), got $scans:\n$plan")
+    assert(scans == 1,
+      s"positional candidates must be ONE corpus pass (was one per distinct length, " +
+        s"and one source recheck before that), got $scans:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "the (qid, offset, term) query table must broadcast against the postings")
   }
 }
