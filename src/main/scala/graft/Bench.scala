@@ -45,10 +45,12 @@ object Bench {
     "q_antijoin", "q_validation_counts", "q_warnings_top", "q_sample_head",
     "q_window_running", "q_rollup", "q_distinct", "q_set_ops",
     "q_approx_distinct", "q_sessionize", "q_ts_coercion",
+    "es_json_coercion",
     "ft_postings", "ft_df", "ft_bm25_topk", "ft_bm25_conj", "ft_phrase",
+    "ft_phrase_slop",
     "ft_wand_topk", "ing_docmap", "dd_exact", "dd_minhash_lsh", "dd_cluster",
-    "dd_simhash", "sim_cosine_topk", "sim_batch_topk", "sim_ann_topk",
-    "sim_ivf_topk",
+    "dd_simhash", "dd_embed_cosine", "sim_cosine_topk", "sim_batch_topk",
+    "sim_ann_topk", "sim_ivf_topk",
     "txt_quality", "txt_repetition", "txt_tokens", "txt_fingerprint", "txt_langid",
     "mm_features")
 

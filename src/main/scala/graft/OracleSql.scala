@@ -420,6 +420,19 @@ object OracleSql {
       |    i -> ('0x' || substr(hx, (2*i+1)::INT, 2))::INT))::DOUBLE / nb) AS mean_byte
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Exact pairwise cosine at the same threshold as the engine; the
+    * list_sum(list_transform) fold is bit-equal to CosineSimExpr's
+    * ascending-index accumulation. */
+  private val ddEmbedCosine =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+      |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, printf('%.4f', cos) AS cos
+      |FROM sc WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
   private val simCosineTopk =
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -543,6 +556,7 @@ object OracleSql {
     "dd_ngram_jaccard"    -> ddJaccard(0.06),
     "dd_minhash_lsh"      -> ddJaccard(0.5),
     "dd_cluster"          -> ddCluster(0.5),
+    "dd_embed_cosine"     -> ddEmbedCosine,
     "sim_cosine_topk"     -> simCosineTopk,
     "sim_batch_topk"      -> simBatchTopk,
     "mm_features"         -> mmFeatures,

@@ -491,6 +491,16 @@ object SparkEntry {
     Dedup.nearDupClusters(tbl(s, dir, "documents"), col("doc_id"), col("text"), 0.5)
       .orderBy("doc_id")
 
+  /** Embedding-cosine near-dup pairs at cos >= 0.4 — the exactness
+    * anchor (DuckDB computes the identical fold, bit-equal); the scale
+    * path is the LSH-blocked Dedup.embedNearDupsLsh, recall-spec'd in
+    * DedupSpec. */
+  private def qEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    Dedup.embedNearDups(tbl(s, dir, "embeddings"), 0.4)
+      .select(col("id_a"), col("id_b"),
+        format_string("%.4f", col("cos")).as("cos"))
+      .orderBy("id_a", "id_b")
+
   /** Batch query-vector search: exact cosine top-10 per query vector
     * via the bounded per-key top-k aggregation (no per-query window). */
   val SimQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
@@ -644,6 +654,7 @@ object SparkEntry {
     "dd_minhash_lsh"      -> (qMinhashLsh _),
     "dd_cluster"          -> (qDedupCluster _),
     "dd_simhash"          -> (qSimhash _),
+    "dd_embed_cosine"     -> (qEmbedCosine _),
     "sim_cosine_topk"     -> (qCosineTopk _),
     "sim_batch_topk"      -> (qSimBatch _),
     "sim_ann_topk"        -> (qAnnTopk _),

@@ -203,6 +203,49 @@ object Dedup {
       .select(col("doc_id"), col("canonical"), col("cluster_size"))
   }
 
+  // --- embedding-cosine near-dup ----------------------------------------------
+
+  /** Embedding-cosine near-dup pairs (cos >= threshold), EXACT: a
+    * broadcast nested-loop self-join with the native cosine expression.
+    * Like [[shingleTable]]-based n-gram Jaccard for the MinHash path,
+    * this is the exactness anchor at verification scale — the DuckDB
+    * oracle computes the identical fold, bit-equal. The 100 TB path is
+    * [[embedNearDupsLsh]]. */
+  def embedNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosineCol(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Scale path: embedding near-dup candidates restricted to pairs
+    * whose sign-pattern LSH buckets lie within Hamming distance
+    * `probeRadius` (one side explodes to its probe ball, the bucket is
+    * the join key — same-bucket shuffle join, never the O(n^2) pair
+    * space), then exact-cosine verification on candidates only. Each
+    * unordered pair surfaces exactly once (the id_a < id_b filter keeps
+    * one orientation; XOR symmetry means no per-mask duplicates).
+    * Recall is probabilistic in the LSH plan — asserted on clustered
+    * corpora in DedupSpec against [[embedNearDups]]. */
+  def embedNearDupsLsh(embeddings: DataFrame, threshold: Double,
+                       nPlanes: Int = 8, probeRadius: Int = 1): DataFrame = {
+    val b = Similarity.bucketed(embeddings, nPlanes)
+    val masks = (0 until (1 << nPlanes)).filter(m => Integer.bitCount(m) <= probeRadius)
+    val left = b.select(col("vec_id").as("id_a"), col("v").as("va"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bkt"))
+    val right = b.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("bucket").as("bkt"))
+    left.join(right, Seq("bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosineCol(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   // --- SimHash ---------------------------------------------------------------
 
   /** FNV-1a 64-bit — tiny, deterministic, public-domain hash for the

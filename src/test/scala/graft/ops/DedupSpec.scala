@@ -161,6 +161,30 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(est - truth) < 0.25, s"est=$est truth=$truth")
   }
 
+  test("embedding-cosine near-dup: LSH-blocked scale path recovers the exact pairs") {
+    import spark.implicits._
+    // clustered corpus: planted near-dup pairs at high cosine, the
+    // regime where bucket blocking applies (random vectors at low
+    // thresholds are anti-adversarial for ANY blocking scheme)
+    val dims = 64
+    def h(a: Int, b: Int): Double = Similarity.planeComponent(a * 977 + 13, b)
+    val centers = Array.tabulate(20)(k => Array.tabulate(dims)(i => h(k, i)))
+    val vecs = (0 until 300).map { id =>
+      val k = id % 20
+      val v = Array.tabulate(dims)(i => centers(k)(i) + 0.05 * h(5000 + id, i))
+      (id.toLong, k, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val exact = Dedup.embedNearDups(vecs, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "clustered corpus must contain true high-cos pairs")
+    val blocked = Dedup.embedNearDupsLsh(vecs, 0.95, nPlanes = 8, probeRadius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact), "verification keeps precision exact")
+    val recall = blocked.size.toDouble / exact.size
+    info(s"embed near-dup LSH recall = $recall (${blocked.size}/${exact.size})")
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("simhash: identical docs collide; near-dups are close; unrelated far") {
     val sim = Dedup.simhashDf(corpus, col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
