@@ -258,9 +258,14 @@ object OracleSql {
     * missing-_id document is dropped by the WHERE, on both sides. */
   private def esJsonCoercion: String = {
     val path = graft.accesslog.EsFixture.DefaultPath
-    // reference unwrap: first element of a non-empty array, else the scalar
+    // the engine's UNIFORM TEXT unwrap rule (AccessLog.readEsJson): any
+    // value whose TEXT form parses as a JSON array takes element 1
+    // (empty -> NULL); everything else keeps its text. Matches the
+    // reference's GetFirstArrayValue for real arrays and pins the
+    // documented string-that-looks-like-an-array divergence.
     def uw(c: String) =
-      s"CASE WHEN json_type($c) = 'ARRAY' THEN json_extract_string($c, '$$[0]') " +
+      s"CASE WHEN json_type(try_cast(json_extract_string($c, '$$') AS JSON)) = 'ARRAY' " +
+        s"THEN json_extract_string(try_cast(json_extract_string($c, '$$') AS JSON), '$$[0]') " +
         s"ELSE json_extract_string($c, '$$') END"
     // nullNorm: ''/whitespace/'null' (any case) -> NULL, else trimmed
     def nn(e: String) =

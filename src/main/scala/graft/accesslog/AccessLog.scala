@@ -169,11 +169,17 @@ object AccessLog {
     // ES may wrap any _source field in a JSON array; the reference takes
     // the FIRST element of a non-empty array and null for an empty one
     // (GetFirstArrayValue, ElasticSearchService.cs:267-278). An array
-    // value arrived above as its raw JSON text, so: parse it back as
-    // array<string> and take element 1 (JSON scalars of any type render
-    // as their text, matching ToObject<T>'s conversion); a `[`-prefixed
-    // plain STRING field fails the array parse and stays as-is. ES
-    // metadata (`_id`/`_index`/`_score`) uses direct token access in the
+    // value arrived above as its raw JSON text, so the rule here is a
+    // UNIFORM TEXT rule: any value whose text parses as a JSON array
+    // unwraps to element 1 (JSON scalars of any type render as their
+    // text, matching ToObject<T>'s conversion); text that fails the
+    // array parse stays as-is. Documented divergence: after the
+    // all-string read, a real JSON array and a STRING whose content is
+    // valid array syntax (e.g. "[1,2]") are indistinguishable — the
+    // reference keeps the latter verbatim, this reader unwraps both.
+    // The DuckDB oracle implements the same text rule, so the two
+    // sides cannot drift (fixture row pins the case). ES metadata
+    // (`_id`/`_index`/`_score`) uses direct token access in the
     // reference — never unwrapped.
     val unwrapped = raw.select(names.map { nm =>
       val c = col(s"`$nm`")

@@ -109,7 +109,11 @@ object EsFixture {
         case 1 => kv("isAccreditation", """["false"]""")
         case _ =>
       }
-      kv("serialNumber", s(s"SN-$i"))
+      // i%10==7: a STRING whose content is valid JSON-array text — the
+      // uniform text rule unwraps it (documented divergence from the
+      // reference; engine and oracle agree by construction)
+      if (i % 10 == 7) kv("serialNumber", s(s"[$i,8]"))
+      else kv("serialNumber", s(s"SN-$i"))
       if (i % 9 == 0) kv("zzUnknown", s("dropped")) // unknown keys tolerated
       b.result().mkString("{", ",", "}")
     }

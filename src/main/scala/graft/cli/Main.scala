@@ -55,6 +55,10 @@ object Main {
         throw new IllegalArgumentException(
           s"unknown config key '${e.getKey}' in $path " +
             s"(known: ${FileKeyToEnv.keys.toSeq.sorted.mkString(", ")})"))
+      // nested sections/arrays would asText() to "" and later surface as
+      // a bare NumberFormatException with no key context — fail loud HERE
+      require(e.getValue.isValueNode && !e.getValue.isNull,
+        s"config key '${e.getKey}' in $path must be a scalar, got: ${e.getValue}")
       b += env -> e.getValue.asText()
     }
     b.result()

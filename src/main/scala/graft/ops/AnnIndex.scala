@@ -34,10 +34,19 @@ object AnnIndex {
 
   // --- lineage + marker (SegmentBuilder-style checkpointing) -------------------
 
-  /** Build lineage: params + the source's parquet file listing
-    * (names + sizes — filesystem metadata only, no data scan), so a
-    * changed/appended corpus or changed build params invalidates the
-    * artifact and an identical re-ensure is a no-op. */
+  /** Algorithm version, part of every lineage string: BUMP THIS whenever
+    * the hashing/bucketing/centroid math changes (planeComponent mix
+    * constants, bucketOf, k-means init/rounds semantics, artifact
+    * layout). Probe-side code recomputes planes/centroid ranking at
+    * query time, so an artifact built by older math would silently
+    * mis-prune if the lineage did not change with the code. */
+  val AlgoVersion = 1
+
+  /** Build lineage: algo version + params + the source's parquet file
+    * listing (names + sizes — filesystem metadata only, no data scan),
+    * so a changed/appended corpus, changed build params, or changed
+    * algorithm invalidates the artifact and an identical re-ensure is a
+    * no-op. */
   def lineageOf(srcPath: String, params: String): String = {
     val f = new java.io.File(srcPath)
     val listing =
@@ -46,7 +55,7 @@ object AnnIndex {
           .map(x => s"${x.getName}:${x.length}").sorted.mkString(",")).getOrElse("")
       else s"${f.getName}:${f.length}"
     val md = MessageDigest.getInstance("SHA-256")
-    md.digest(s"$params|files=$listing".getBytes(StandardCharsets.UTF_8))
+    md.digest(s"v$AlgoVersion|$params|files=$listing".getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
   }
 

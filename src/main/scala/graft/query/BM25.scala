@@ -72,37 +72,46 @@ object BM25 {
     * terms.
     *
     * Adjacency comes from POSITIONAL postings: candidates are an m-way
-    * positional intersection over the query's terms only — ONE corpus
-    * tokenize pass total (the positional build), pruned to the phrase
+    * positional intersection over the query's terms only, and the SAME
+    * positional build (persisted for the call) also supplies the
+    * scoring postings and term df — TWO corpus tokenize passes total
+    * (positional postings + the doclen/stats pass, which must see
+    * zero-token docs the postings cannot carry), pruned to the phrase
     * terms by the broadcast query join, never a per-phrase-length
     * corpus rescan and never a source-text recheck of candidates (the
     * round-2 design rescanned candidate text once per distinct phrase
-    * length; at 100 TB candidate text is the thing you cannot re-read). */
+    * length; at 100 TB candidate text is the thing you cannot re-read).
+    * The <= queries x topK result materializes eagerly so the cache can
+    * be released before returning. */
   def phraseTopK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
                  phrases: Seq[(Int, String)],
                  cfg: EngineConfig = EngineConfig.default,
                  slop: Int = 0): DataFrame = {
     import spark.implicits._
     import graft.analyze.CodeTokenizer
-    val post = Postings.build(docs, idCol, contentCol)
-    val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
     val analyzed = phrases
       .map { case (qid, text) => (qid, CodeTokenizer.tokenize(text).toSeq) }
       .filter(_._2.nonEmpty)
     if (analyzed.isEmpty)
       return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
-    val candidates = phraseCandidates(docs, idCol, contentCol, analyzed, slop)
-    val qterms = analyzed
-      .flatMap { case (qid, ts) =>
-        val distinctSorted = ts.distinct.sorted
-        distinctSorted.map(t => (qid, t, distinctSorted.size))
-      }
-      .toDF("qid", "term", "n_terms")
-    val qdf = qterms.join(Postings.docFreq(post), "term")
-    val weighted = post.join(broadcast(qdf), "term")
-      .join(candidates, Seq("qid", "doc_id"), "left_semi")
-      .withColumn("w", weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
-    scoreAndRank(weighted, cfg.topK)
+    val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
+    val posPost = Postings.buildPositional(docs, idCol, contentCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val post = posPost.drop("positions")
+      val candidates = phraseCandidatesFrom(posPost, analyzed, slop)
+      val qterms = analyzed
+        .flatMap { case (qid, ts) =>
+          val distinctSorted = ts.distinct.sorted
+          distinctSorted.map(t => (qid, t, distinctSorted.size))
+        }
+        .toDF("qid", "term", "n_terms")
+      val qdf = qterms.join(Postings.docFreq(post), "term")
+      val weighted = post.join(broadcast(qdf), "term")
+        .join(candidates, Seq("qid", "doc_id"), "left_semi")
+        .withColumn("w", weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
+      scoreAndRank(weighted, cfg.topK).localCheckpoint(eager = true)
+    } finally { posPost.unpersist(); () }
   }
 
   /** Phrase candidate sets from positional postings, ALL phrases in one
@@ -114,10 +123,18 @@ object BM25 {
     * Output: (qid, doc_id). */
   def phraseCandidates(docs: DataFrame, idCol: Column, contentCol: Column,
                        analyzed: Seq[(Int, Seq[String])],
-                       slop: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
+                       slop: Int = 0): DataFrame =
+    phraseCandidatesFrom(Postings.buildPositional(docs, idCol, contentCol),
+      analyzed, slop)
+
+  /** As [[phraseCandidates]], over an already-built positional postings
+    * frame (lets [[phraseTopK]] share one persisted build between the
+    * candidate and scoring branches). */
+  def phraseCandidatesFrom(posPost: DataFrame,
+                           analyzed: Seq[(Int, Seq[String])],
+                           slop: Int = 0): DataFrame = {
+    val spark = posPost.sparkSession
     import spark.implicits._
-    val posPost = Postings.buildPositional(docs, idCol, contentCol)
     val q = analyzed.flatMap { case (qid, ts) =>
       ts.zipWithIndex.map { case (t, off) => (qid, t, off, ts.length) }
     }.toDF("qid", "term", "off", "m")

@@ -178,6 +178,18 @@ class AccessLogSpec extends SparkSuite {
     assert(u2.getAs[Boolean]("is_accreditation") === false)
   }
 
+  test("ES unwrap is a uniform TEXT rule: a string whose content is valid array text unwraps") {
+    // documented divergence from the reference (which keeps the string
+    // verbatim): after the all-string read the two shapes are
+    // indistinguishable; the oracle implements the identical rule
+    val f = Files.createTempFile("accesslog_strarr_", ".ndjson")
+    Files.writeString(f,
+      """{"_id":"t1","serialNumber":"[7,8]","gateName":"[\"G1\",\"G2\"]"}""")
+    val r = AccessLog.readEsJson(spark, f.toString).head()
+    assert(r.getAs[String]("serial_number") === "7")
+    assert(r.getAs[String]("gate_name") === "G1")
+  }
+
   test("IP validation parity: real IPv4 AND IPv6, colon-garbage rejected") {
     def errsFor(ip: String): Set[String] = AccessLog.validate(parse(
       row("ip" -> ip))).head().getAs[scala.collection.Seq[String]]("errors").toSet

@@ -39,6 +39,12 @@ class MainSpec extends SparkSuite {
     java.nio.file.Files.writeString(oob, """{"topK": 0}""")
     assertThrows[IllegalArgumentException](
       Main.configFromEnv(Map("GRAFT_CONFIG" -> oob.toString)))
+    // nested sections fail loud NAMING the key (not a bare NumberFormat)
+    val nested = java.nio.file.Files.createTempFile("graft_cfg_nested_", ".json")
+    java.nio.file.Files.writeString(nested, """{"topK": {"value": 5}}""")
+    val ex = intercept[IllegalArgumentException](
+      Main.configFromEnv(Map("GRAFT_CONFIG" -> nested.toString)))
+    assert(ex.getMessage.contains("topK") && ex.getMessage.contains("scalar"))
   }
 
   test("ES index-name validation mirrors the reference's rule list") {
