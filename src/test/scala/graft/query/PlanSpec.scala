@@ -80,6 +80,20 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("ObjectHashAggregate"), s"bounded top-k expected:\n$plan")
   }
 
+  test("embed near-dup plans: exact = broadcast NL self-join; LSH-blocked = bucket-key shuffle join, no cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = graft.ops.Dedup.embedNearDups(emb, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("BroadcastNestedLoopJoin"),
+      s"exact pairs must broadcast one side (verification-scale anchor):\n$exact")
+    val blocked = graft.ops.Dedup.embedNearDupsLsh(emb, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!blocked.contains("CartesianProduct") &&
+      !blocked.contains("BroadcastNestedLoopJoin"),
+      s"LSH-blocked pairs must join on the bucket key, never the pair space:\n$blocked")
+    assert(!blocked.contains("Exchange SinglePartition"), s"blocked pairs:\n$blocked")
+  }
+
   test("phrase candidates: ONE positional corpus pass for ALL phrases, any length mix") {
     import graft.analyze.CodeTokenizer
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
