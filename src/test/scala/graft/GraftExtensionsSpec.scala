@@ -25,6 +25,22 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(one === CodeTokenizer.tokenize("parseCSVLine the access_log 42").toSeq)
   }
 
+  test("round-3 SQL surface: positions, cosine, ordered phrase match") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_token_positions('alpha beta alpha').pairs AS pairs,
+        |  graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos_same,
+        |  graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS cos_orth,
+        |  graft_phrase_match(array(array(0, 4), array(2)), 1) AS gap_ok,
+        |  graft_phrase_match(array(array(0), array(2)), 0) AS gap_too_far
+        |""".stripMargin).head()
+    val pairs = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(pairs.map(p => p.getString(0) -> p.getSeq[Int](2)).toMap ===
+      Map("alpha" -> Seq(0, 2), "beta" -> Seq(1)))
+    assert(r.getDouble(1) === 1.0 && r.getDouble(2) === 0.0)
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+  }
+
   test("extensions class installs the functions on a fresh session") {
     val ext = new GraftExtensions
     // apply against the running session's extension point via clone
