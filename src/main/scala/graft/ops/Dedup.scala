@@ -132,7 +132,17 @@ object Dedup {
     * smallest reachable id; the fixed point is the star forest. Output:
     * (doc_id, canonical) for every vertex of the edge list, canonical =
     * min doc_id of its component. */
-  def components(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  /** Edge-count threshold below which [[components]] solves locally: a
+    * driver union-find over the (deduped, canonical) edge list. 2^20
+    * edges = ~16 MB of longs — far below driver headroom, far above any
+    * per-round fixed cost the distributed loop would amortize. Above
+    * it, star contraction runs distributed; near-dup graphs at corpus
+    * scale are usually far SPARSER than the corpus, so the local path
+    * also serves as the common fast path after LSH verification. */
+  val LocalComponentsMaxEdges: Long = 1L << 20
+
+  def components(edges: DataFrame, maxRounds: Int = 50,
+                 localMaxEdges: Long = LocalComponentsMaxEdges): DataFrame = {
     // canonical (u > v) orientation, self-loops split out (a self-loop
     // names a vertex that must appear in the output but adds no edge)
     val selfVerts = edges.filter(col("id_a") === col("id_b"))
@@ -142,6 +152,9 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(eager = true)
+    val nEdges = cur.count()
+    if (nEdges <= localMaxEdges)
+      return componentsLocal(cur, selfVerts)
     // edge-set signature for the fixed-point test: (count, order-
     // independent hash XOR — edges are distinct, and xor never
     // overflows under ANSI mode) — one tiny agg per round
@@ -189,6 +202,44 @@ object Dedup {
       .unionAll(cur.select(col("v").as("doc_id"), col("v").as("canonical")))
       .unionAll(selfVerts.withColumn("canonical", col("doc_id")))
       .groupBy("doc_id").agg(min("canonical").as("canonical"))
+  }
+
+  /** Driver union-find (path halving + union by min) over a BOUNDED
+    * collected edge list — the sub-threshold fast path of
+    * [[components]]. Identical output contract: (doc_id, canonical =
+    * min reachable id) for every vertex. */
+  private def componentsLocal(cur: DataFrame, selfVerts: DataFrame): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // min id becomes the root = the canonical doc
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val verts = new java.util.HashSet[Long]()
+    cur.select("u", "v").collect().foreach { r =>
+      val u = r.getLong(0); val v = r.getLong(1)
+      verts.add(u); verts.add(v); union(u, v)
+    }
+    selfVerts.collect().foreach(r => verts.add(r.getLong(0)))
+    val out = new Array[(Long, Long)](verts.size)
+    var i = 0
+    val it = verts.iterator()
+    while (it.hasNext) { val x = it.next(); out(i) = (x, find(x)); i += 1 }
+    out.toSeq.toDF("doc_id", "canonical")
   }
 
   /** Near-dup clusters at `threshold`: MinHash+LSH pairs, then

@@ -96,13 +96,18 @@ class DedupSpec extends SparkSuite {
 
   test("connected components: chains collapse to min id, clusters sized") {
     import spark.implicits._
-    // chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22
+    // chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22;
+    // BOTH paths (driver union-find fast path and distributed star
+    // contraction, forced via localMaxEdges = 0) must agree
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
-    val got = Dedup.components(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    for (localMax <- Seq(Dedup.LocalComponentsMaxEdges, 0L)) {
+      val got = Dedup.components(edges, localMaxEdges = localMax).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"localMaxEdges=$localMax")
+    }
   }
 
   test("star contraction converges on a diameter-200 path in O(log d) rounds") {
@@ -114,19 +119,26 @@ class DedupSpec extends SparkSuite {
       * 1000L + i).abs
     val ids = (0 to 200).map(vid)
     val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
-    val got = Dedup.components(edges, maxRounds = 12).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force the DISTRIBUTED path: the O(log d) bound is its contract
+    val got = Dedup.components(edges, maxRounds = 12, localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val mn = ids.min
     assert(got.size === 201)
     assert(got.values.forall(_ == mn), "every vertex must label to the component min")
+    // the union-find fast path agrees
+    val local = Dedup.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === got)
   }
 
-  test("components tolerates self-loops and duplicate/reversed edges") {
+  test("components tolerates self-loops and duplicate/reversed edges (both paths)") {
     import spark.implicits._
     val edges = Seq((5L, 5L), (7L, 8L), (8L, 7L), (7L, 8L)).toDF("id_a", "id_b")
-    val got = Dedup.components(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
+    for (localMax <- Seq(Dedup.LocalComponentsMaxEdges, 0L)) {
+      val got = Dedup.components(edges, localMaxEdges = localMax).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(5L -> 5L, 7L -> 7L, 8L -> 7L), s"localMaxEdges=$localMax")
+    }
   }
 
   test("near-dup clusters: canonical = min doc of each true near-dup component") {
