@@ -142,47 +142,57 @@ object SegmentBuilder {
       if (docs.rdd.getNumPartitions >= cfg.buildPartitions) docs
       else docs.repartition(cfg.buildPartitions)
 
-    // Two independent passes, submitted concurrently (they share the
-    // executors; concurrency removes the serial job-submission gap).
-    // Tokenizing twice is deliberately cheaper than caching exploded
-    // token arrays: the columnar cache build + deserialization costs
-    // far more CPU than the analyzer itself.
+    // ONE tokenize pass over the corpus: the fused analyzer expression
+    // emits (sha, doclen, term-tf pairs) per doc into a columnar
+    // staging table; everything downstream (docmap, stats, qsplits,
+    // postings) derives from staging WITHOUT re-tokenizing. Earlier
+    // rounds ran two concurrent tokenize passes (docmap + postings) —
+    // full-core utilization but ~2x the analyzer CPU, and the analyzer
+    // IS the dominant ingest cost; staging trades one extra
+    // columnar write+read (cheap, especially on tmpfs) for half the
+    // tokenize work. Derived outputs still run concurrently.
+    val staging = s"$indexDir/_staging"
+    spread.select(idCol.cast("long").as("doc_id"),
+        sha2(contentCol.cast("string"), 256).as("sha"),
+        graft.analyze.CodeTokenizer.tokenTfCol(contentCol).as("t"))
+      .select(col("doc_id"), col("sha"),
+        col("t.doclen").as("doclen"), col("t.pairs").as("pairs"))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
 
-    // Pass 1 — docmap: identity + per-row invariant surface
-    // (sha256(content) equality vs the source — BASELINE.json
-    // input_hint) plus doclen, one narrow projection; then corpus stats
-    // from the (tiny, columnar) docmap.
+    // docmap: identity + per-row invariant surface (sha256(content)
+    // equality vs the source — BASELINE.json input_hint) plus doclen;
+    // then corpus stats and the doc-space quantile boundaries (stage 1
+    // salts hot terms by CONTIGUOUS doc-range bucket — no per-shard
+    // sampling scans at build time) from the tiny columnar docmap.
     val pass1 = Future {
-      spread.select(idCol.cast("long").as("doc_id"),
-          sha2(contentCol.cast("string"), 256).as("sha"),
-          size(graft.analyze.CodeTokenizer.tokensColFast(contentCol)).cast("long").as("doclen"))
+      spark.read.parquet(staging).select("doc_id", "sha", "doclen")
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docmap")
       spark.read.parquet(s"$indexDir/docmap")
         .agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
-      // Doc-space quantile boundaries (tiny job over the docmap just
-      // written, overlapped with the postings pass): stage 1 salts hot
-      // terms by CONTIGUOUS doc-range bucket instead of doc hash, so
-      // every run covers a narrow doc span and serving can prune runs
-      // per doc-range. No per-shard sampling scans at build time.
       spark.read.parquet(s"$indexDir/docmap")
         .select(expr(s"approx_percentile(doc_id, array(${
           (1 until QuantileBuckets).map(i => i.toDouble / QuantileBuckets).mkString(",")}))")
           .as("splits"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/qsplits")
     }
-    // Pass 2 — postings (shuffle-free: per-doc tf inside the tokenizer
-    // expression), hash-partitioned by term shard for stage-1 pruning.
+    // postings: explode the staged pairs (shuffle-free — tf came from
+    // the tokenizer), hash-partitioned by term shard for stage-1 pruning.
     val pass2 = Future {
-      Postings.build(spread, idCol, contentCol)
+      spark.read.parquet(staging)
+        .select(col("doc_id"), col("doclen"), explode(col("pairs")).as("p"))
+        .select(col("p.term").as("term"), col("doc_id"), col("doclen"),
+          col("p.tf").as("tf"))
         .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
         .write.mode(SaveMode.Overwrite).partitionBy("shard")
         .parquet(s"$indexDir/postings")
     }
     Await.result(Future.sequence(Seq(pass1, pass2)), Duration.Inf)
+    new scala.reflect.io.Directory(new java.io.File(staging)).deleteRecursively()
     // Atomic ingest-complete marker, written only after BOTH passes
     // land: a crash between stats and postings must not let a resume
     // treat the partial postings dir as a finished ingest (resume gates
