@@ -77,7 +77,12 @@ object Bench {
     * table broadcast, so corpus generation itself is parallel — a
     * single-partition source file must never serialize the pipeline. */
   private def benchDocs(spark: SparkSession, sfDir: String, replicas: Int): DataFrame =
-    spark.range(0, replicas, 1, 32).toDF("rep")
+    // >=4 waves per core: the staged ingest runs its phases as BARRIERS
+    // (tokenize -> derive), so a coarse 2-wave layout pays the full
+    // straggler tail at each barrier on wide executors; finer tasks cut
+    // the tail without a shuffle (range is generated, not read).
+    spark.range(0, replicas, 1,
+        math.max(32, spark.sparkContext.defaultParallelism * 4)).toDF("rep")
       .crossJoin(broadcast(spark.read.parquet(s"$sfDir/documents.parquet")))
       .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"), col("text"))
 

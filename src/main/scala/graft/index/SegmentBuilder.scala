@@ -152,12 +152,31 @@ object SegmentBuilder {
     // columnar write+read (cheap, especially on tmpfs) for half the
     // tokenize work. Derived outputs still run concurrently.
     val staging = s"$indexDir/_staging"
+    val tStage0 = System.nanoTime()
     spread.select(idCol.cast("long").as("doc_id"),
         sha2(contentCol.cast("string"), 256).as("sha"),
         graft.analyze.CodeTokenizer.tokenTfCol(contentCol).as("t"))
       .select(col("doc_id"), col("sha"),
         col("t.doclen").as("doclen"), col("t.pairs").as("pairs"))
       .write.mode(SaveMode.Overwrite).parquet(staging)
+    // Operational phase metrics (north_rule: builds report rows/bytes/
+    // timing); also the input to the derive-read split sizing below.
+    val stagingFiles = new java.io.File(staging).listFiles()
+    val stagingBytes =
+      if (stagingFiles == null) 0L else stagingFiles.map(_.length()).sum
+    System.err.println(f"[ingest] staging write: ${(System.nanoTime() - tStage0) / 1e9}%.1fs, " +
+      s"$stagingBytes bytes, ${if (stagingFiles == null) 0 else stagingFiles.count(_.getName.endsWith(".parquet"))} files")
+    // The derive passes re-read staging. Parquet read-task count is
+    // governed by spark.sql.files.maxPartitionBytes (default 128 MB):
+    // a few-GB staging table packs into ~a dozen read tasks, which
+    // SERIALIZES the explode+write postings pass on wide executors —
+    // measured 0.53 scaling efficiency 4->16 cores on 5M docs before
+    // this. Size splits to ~2 waves per available core instead; the
+    // conf is restored after the passes (it is session-global).
+    val prevSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val targetSplits = math.max(spark.sparkContext.defaultParallelism * 2, cfg.buildPartitions)
+    val splitBytes = math.max(4L << 20, stagingBytes / targetSplits)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
 
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -191,7 +210,13 @@ object SegmentBuilder {
         .write.mode(SaveMode.Overwrite).partitionBy("shard")
         .parquet(s"$indexDir/postings")
     }
-    Await.result(Future.sequence(Seq(pass1, pass2)), Duration.Inf)
+    val tDerive = System.nanoTime()
+    try Await.result(Future.sequence(Seq(pass1, pass2)), Duration.Inf)
+    finally prevSplit match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None    => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    System.err.println(f"[ingest] derive passes: ${(System.nanoTime() - tDerive) / 1e9}%.1fs")
     new scala.reflect.io.Directory(new java.io.File(staging)).deleteRecursively()
     // Atomic ingest-complete marker, written only after BOTH passes
     // land: a crash between stats and postings must not let a resume
