@@ -243,10 +243,12 @@ object SparkEntry {
     4 -> "hash join merge",
     5 -> "dup table")
 
-  /** ES match_phrase: ordered adjacency via m-gram shingle containment,
-    * corpus-stats BM25 scoring on qualifying docs. */
+  /** ES match_phrase: ordered adjacency from the PERSISTED positional
+    * index (built once at ingest, like ES text-field positions) —
+    * serving is a shard- and term-pruned postings read, never a corpus
+    * tokenize. Corpus-stats BM25 scoring on qualifying docs. */
   private def qFtPhrase(s: SparkSession, dir: String): DataFrame =
-    BM25.phraseTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"), PhraseQuerySet)
+    BM25.phraseTopKIndexed(s, ensureIndex(s, dir), PhraseQuerySet, IndexCfg)
       .select(col("qid"), col("rank"), col("doc_id"),
         format_string("%.4f", col("score")).as("score"))
 
@@ -266,8 +268,8 @@ object SparkEntry {
     * intersection, never a source-text recheck. Oracle: the same
     * ordered-chain EXISTS over DuckDB token arrays. */
   private def qFtPhraseSlop(s: SparkSession, dir: String): DataFrame =
-    BM25.phraseTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
-      PhraseSlopQuerySet, slop = PhraseSlop)
+    BM25.phraseTopKIndexed(s, ensureIndex(s, dir), PhraseSlopQuerySet, IndexCfg,
+      slop = PhraseSlop)
       .select(col("qid"), col("rank"), col("doc_id"),
         format_string("%.4f", col("score")).as("score"))
 
@@ -296,7 +298,7 @@ object SparkEntry {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
     val idx = s"$base/graft_index_$key"
-    if (!SegmentBuilder.ingestDone(idx))
+    if (!SegmentBuilder.ingestDone(idx, IndexCfg))
       SegmentBuilder.ingest(s, tbl(s, dir, "documents"),
         col("doc_id"), col("text"), idx, IndexCfg)
     SegmentBuilder.buildAll(s, idx, IndexCfg)

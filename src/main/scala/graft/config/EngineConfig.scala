@@ -32,7 +32,13 @@ final case class EngineConfig(
     serveMaxRanges: Int = 1024,
     // tokenizer envelope (mirrored in graft.analyze.CodeTokenizer)
     minTokenLen: Int = 2,
-    maxTokenLen: Int = 64
+    maxTokenLen: Int = 64,
+    // index_options (ES parity): text fields index positions by DEFAULT
+    // (match_phrase works out of the box); opting out (ES
+    // `index_options: freqs`) cuts ingest cost ~25-30% and staging
+    // ~2.8x, and phrase queries against such an index fail loud —
+    // exactly ES's "positions not indexed" error.
+    storePositions: Boolean = true
 ) {
   // Reference-style settings validation
   // (/root/reference/Validators/MigrationSettingsValidator.cs:46-77):

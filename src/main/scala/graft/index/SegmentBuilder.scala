@@ -153,9 +153,17 @@ object SegmentBuilder {
     // tokenize work. Derived outputs still run concurrently.
     val staging = s"$indexDir/_staging"
     val tStage0 = System.nanoTime()
+    // Positional staging (layout v2): term positions ride along with tf
+    // — ES indexes positions for text fields by default (match_phrase
+    // works out of the box), so the Spark index stores them too, and
+    // phrase/proximity queries become index reads instead of corpus
+    // re-tokenizes (the same build-once-probe-many rule the ANN
+    // artifacts follow). Segment/codec layers are position-free; they
+    // column-prune positions away at their scan.
+    val tok = if (cfg.storePositions) graft.analyze.CodeTokenizer.tokenPosCol(contentCol)
+              else graft.analyze.CodeTokenizer.tokenTfCol(contentCol)
     spread.select(idCol.cast("long").as("doc_id"),
-        sha2(contentCol.cast("string"), 256).as("sha"),
-        graft.analyze.CodeTokenizer.tokenTfCol(contentCol).as("t"))
+        sha2(contentCol.cast("string"), 256).as("sha"), tok.as("t"))
       .select(col("doc_id"), col("sha"),
         col("t.doclen").as("doclen"), col("t.pairs").as("pairs"))
       .write.mode(SaveMode.Overwrite).parquet(staging)
@@ -202,10 +210,12 @@ object SegmentBuilder {
     // postings: explode the staged pairs (shuffle-free — tf came from
     // the tokenizer), hash-partitioned by term shard for stage-1 pruning.
     val pass2 = Future {
+      val postCols = Seq(col("p.term").as("term"), col("doc_id"), col("doclen"),
+        col("p.tf").as("tf")) ++
+        (if (cfg.storePositions) Seq(col("p.positions").as("positions")) else Nil)
       spark.read.parquet(staging)
         .select(col("doc_id"), col("doclen"), explode(col("pairs")).as("p"))
-        .select(col("p.term").as("term"), col("doc_id"), col("doclen"),
-          col("p.tf").as("tf"))
+        .select(postCols: _*)
         .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
         .write.mode(SaveMode.Overwrite).partitionBy("shard")
         .parquet(s"$indexDir/postings")
@@ -225,17 +235,27 @@ object SegmentBuilder {
     val dir = Paths.get(indexDir)
     Files.createDirectories(dir)
     val tmp = dir.resolve("_ingested.tmp")
-    Files.writeString(tmp, lineage(spark, indexDir, cfg))
+    Files.writeString(tmp,
+      s"v$LayoutVersion pos=${cfg.storePositions}\n" + lineage(spark, indexDir, cfg))
     Files.move(tmp, dir.resolve("_ingested"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
+  /** On-disk layout version, written into the ingest marker: v2 added
+    * positional postings. An index ingested under a different layout
+    * must fully re-ingest — resume would otherwise serve a layout the
+    * readers don't expect (e.g. phrase queries finding no positions). */
+  val LayoutVersion = 2
+
   /** True iff a previous [[ingest]] ran to completion (both passes plus
-    * the quantile-split table this layout version requires). */
-  def ingestDone(indexDir: String): Boolean =
+    * the quantile-split table), UNDER THE CURRENT LAYOUT VERSION and
+    * the same index_options (a positions-flag flip must re-ingest). */
+  def ingestDone(indexDir: String, cfg: EngineConfig = EngineConfig.default): Boolean =
     Files.exists(Paths.get(indexDir, "_ingested")) &&
-      Files.exists(Paths.get(indexDir, "qsplits"))
+      Files.exists(Paths.get(indexDir, "qsplits")) &&
+      Files.readString(Paths.get(indexDir, "_ingested"))
+        .startsWith(s"v$LayoutVersion pos=${cfg.storePositions}\n")
 
   /** Doc-space CDF resolution for range salting. */
   val QuantileBuckets = 1024

@@ -95,7 +95,76 @@ object BM25 {
     if (analyzed.isEmpty)
       return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
     val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
-    val posPost = Postings.buildPositional(docs, idCol, contentCol)
+    phraseTopKOver(Postings.buildPositional(docs, idCol, contentCol),
+      n, avgdl, analyzed, cfg, slop)
+  }
+
+  /** Phrase top-k served from a PERSISTED index ([[graft.index.SegmentBuilder]]
+    * layout v2): positions live in the shard-partitioned postings store
+    * — built ONCE at ingest, exactly like ES indexes positions for text
+    * fields by default (match_phrase never re-reads source text) — so a
+    * phrase query is a partition- and row-group-pruned read of the
+    * phrase terms' postings (shard dirs from the terms' own hash,
+    * `term IN (...)` pushed to the parquet scan), never a corpus
+    * tokenize. Corpus stats come from the index's stats table (computed
+    * over ALL docs at ingest, including zero-token docs the postings
+    * cannot carry). Same result contract as [[phraseTopK]]. */
+  def phraseTopKIndexed(spark: SparkSession, indexDir: String,
+                        phrases: Seq[(Int, String)],
+                        cfg: EngineConfig = EngineConfig.default,
+                        slop: Int = 0): DataFrame = {
+    import spark.implicits._
+    import graft.analyze.CodeTokenizer
+    val analyzed = phrases
+      .map { case (qid, text) => (qid, CodeTokenizer.tokenize(text).toSeq) }
+      .filter(_._2.nonEmpty)
+    if (analyzed.isEmpty)
+      return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
+    val (n, avgdl) = graft.index.SegmentBuilder.readStats(spark, indexDir)
+    val pruned = prunedPositionalPostings(spark, indexDir,
+      analyzed.flatMap(_._2).distinct, cfg)
+    phraseTopKOver(pruned, n, avgdl, analyzed, cfg, slop)
+  }
+
+  /** The shard a term's postings land in — the DRIVER-SIDE twin of the
+    * ingest writer's `pmod(xxhash64(term), shards)` (same XXH64 core,
+    * same seed 42, same positive-mod), so serving can partition-prune
+    * without running a Spark job. Parity is property-tested in
+    * Bm25Spec. */
+  def termShard(term: String, shards: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term), 42L)
+    (((h % shards) + shards) % shards).toInt
+  }
+
+  /** The phrase terms' positional postings, pruned at the SCAN: shard
+    * directories from the terms' own hash (partition pruning, computed
+    * driver-side via [[termShard]] — zero Spark jobs) and
+    * `term IN (...)` pushed into the parquet reader (row-group stats +
+    * dictionary pruning). This is the ONLY corpus touch a served phrase
+    * query makes. */
+  def prunedPositionalPostings(spark: SparkSession, indexDir: String,
+                               terms: Seq[String], cfg: EngineConfig): DataFrame = {
+    val all = spark.read.parquet(s"$indexDir/postings")
+    require(all.columns.contains("positions"),
+      s"$indexDir/postings has no positions column (pre-v2 layout) — re-ingest")
+    val termShards = terms.map(termShard(_, cfg.shards)).distinct
+    all.filter(col("shard").isInCollection(termShards))
+      .filter(col("term").isInCollection(terms))
+      .select("term", "doc_id", "doclen", "tf", "positions")
+  }
+
+  /** Shared phrase core over a positional postings frame (full-corpus
+    * build in [[phraseTopK]]; pruned index read in [[phraseTopKIndexed]]).
+    * The frame is persisted for the call — candidates, df and scoring
+    * all read it — and released before returning (the <= queries x topK
+    * result materializes eagerly via localCheckpoint). */
+  private def phraseTopKOver(posPostIn: DataFrame, n: Long, avgdl: Double,
+                             analyzed: Seq[(Int, Seq[String])],
+                             cfg: EngineConfig, slop: Int): DataFrame = {
+    val spark = posPostIn.sparkSession
+    import spark.implicits._
+    val posPost = posPostIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val post = posPost.drop("positions")

@@ -80,6 +80,62 @@ class Bm25Spec extends SparkSuite {
     assert(conj.count() > 0)
   }
 
+  test("indexed phrase serving == direct phrase build (both query sets, incl. slop)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx_").toString
+    try {
+      graft.index.SegmentBuilder.ingest(spark, docsDf, col("doc_id"), col("text"),
+        dir, SparkEntry.IndexCfg)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      assert(rows(BM25.phraseTopKIndexed(spark, dir, SparkEntry.PhraseQuerySet,
+          SparkEntry.IndexCfg)) ===
+        rows(BM25.phraseTopK(spark, docsDf, col("doc_id"), col("text"),
+          SparkEntry.PhraseQuerySet, SparkEntry.IndexCfg)))
+      assert(rows(BM25.phraseTopKIndexed(spark, dir, SparkEntry.PhraseSlopQuerySet,
+          SparkEntry.IndexCfg, slop = SparkEntry.PhraseSlop)) ===
+        rows(BM25.phraseTopK(spark, docsDf, col("doc_id"), col("text"),
+          SparkEntry.PhraseSlopQuerySet, SparkEntry.IndexCfg, slop = SparkEntry.PhraseSlop)))
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
+
+  test("termShard parity: driver-side XXH64 == pmod(xxhash64(term), shards)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val terms = (Seq("spark", "fast", "table", "dup", "", "a",
+      "çöğüş", "日本語トークン", "x" * 64) ++
+      (1 to 200).map(_ => rng.alphanumeric.take(1 + rng.nextInt(12)).mkString)).distinct
+    for (shards <- Seq(1, 4, 8, 31)) {
+      val viaSpark = terms.toDF("term")
+        .select(col("term"), pmod(xxhash64(col("term")), lit(shards)).cast("int").as("s"))
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      viaSpark.foreach { case (t, s) =>
+        assert(BM25.termShard(t, shards) === s, s"shard mismatch for <$t> @$shards")
+      }
+    }
+  }
+
+  test("freqs-only index (ES index_options opt-out): phrase serving fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_freqs_").toString
+    try {
+      val cfg = SparkEntry.IndexCfg.copy(storePositions = false)
+      graft.index.SegmentBuilder.ingest(spark, docsDf, col("doc_id"), col("text"), dir, cfg)
+      assert(!spark.read.parquet(s"$dir/postings").columns.contains("positions"))
+      val e = intercept[IllegalArgumentException] {
+        BM25.phraseTopKIndexed(spark, dir, SparkEntry.PhraseQuerySet, cfg).collect()
+      }
+      assert(e.getMessage.contains("positions"),
+        "must mirror ES's 'positions not indexed' error, not return wrong results")
+      // a positions-flag flip on the same dir must NOT read as complete
+      assert(graft.index.SegmentBuilder.ingestDone(dir, cfg))
+      assert(!graft.index.SegmentBuilder.ingestDone(dir, SparkEntry.IndexCfg))
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
+
   test("positional phrase semantics: duplicate terms, slop windows, order-sensitivity") {
     import spark.implicits._
     val docs = Seq(

@@ -71,6 +71,35 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"phrase ranking must not window-sort:\n$plan")
   }
 
+  test("indexed phrase serving: pruned postings scan, zero corpus tokenize") {
+    import graft.analyze.CodeTokenizer
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("plan_idx_").toString
+    try {
+      graft.index.SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"),
+        dir, SparkEntry.IndexCfg)
+      val analyzed = SparkEntry.PhraseQuerySet
+        .map { case (q, t) => (q, CodeTokenizer.tokenize(t).toSeq) }
+        .filter(_._2.nonEmpty)
+      val pruned = BM25.prunedPositionalPostings(spark, dir,
+        analyzed.flatMap(_._2).distinct, SparkEntry.IndexCfg)
+      val scanPlan = pruned.queryExecution.executedPlan.toString
+      assert(scanPlan.contains("In(term"),
+        s"term IN (...) must reach the parquet reader (PushedFilters):\n$scanPlan")
+      assert(!scanPlan.toLowerCase.contains("tokenize"),
+        s"a served phrase query must never tokenize the corpus:\n$scanPlan")
+      // the whole candidate derivation stays on the ONE pruned scan
+      val candPlan = BM25.phraseCandidatesFrom(pruned, analyzed)
+        .queryExecution.executedPlan.toString
+      val scans = "FileScan parquet".r.findAllMatchIn(candPlan).size
+      assert(scans == 1, s"candidates = one pruned postings scan, got $scans:\n$candPlan")
+      assert(!candPlan.toLowerCase.contains("tokenize"),
+        s"no corpus tokenize in indexed candidates:\n$candPlan")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
+
   test("batch similarity ranks via bounded aggregation — no window, no single-partition exchange") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = graft.ops.Similarity.cosineTopKBatch(emb, SparkEntry.SimQueryIds, 10)
