@@ -294,8 +294,17 @@ object SparkEntry {
     * resume gates on the atomic ingest-complete marker, not on stats
     * existence (a crash between the two ingest passes must re-ingest). */
   def ensureIndex(s: SparkSession, dir: String): String = {
+    // Cache key covers the source CONTENT, not just its path: a
+    // regenerated documents.parquet at the same path must produce a
+    // fresh index, never serve stale hits from the previous corpus
+    // (cheap driver-side listing — name:size:mtime per data file).
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val listing = Option(src.listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString(","))
+      .getOrElse(s"${src.length}:${src.lastModified}")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$dir|$listing".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
     val idx = s"$base/graft_index_$key"
     if (!SegmentBuilder.ingestDone(idx, IndexCfg))

@@ -117,7 +117,7 @@ object Main {
   def pingInfo(spark: SparkSession, indexDir: String,
                cfg: EngineConfig = EngineConfig.default): (Boolean, String) = {
     val sessionOk = !spark.sparkContext.isStopped
-    val ingested = graft.index.SegmentBuilder.ingestDone(indexDir)
+    val ingested = graft.index.SegmentBuilder.ingestDone(indexDir, cfg)
     val (n, avgdl, shardsBuilt) =
       if (!ingested) (0L, 0.0, 0)
       else try {

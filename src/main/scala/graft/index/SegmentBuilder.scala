@@ -179,12 +179,14 @@ object SegmentBuilder {
     // a few-GB staging table packs into ~a dozen read tasks, which
     // SERIALIZES the explode+write postings pass on wide executors —
     // measured 0.53 scaling efficiency 4->16 cores on 5M docs before
-    // this. Size splits to ~2 waves per available core instead; the
-    // conf is restored after the passes (it is session-global).
-    val prevSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    // this. Size splits to ~2 waves per available core instead. The
+    // override lives in a CLONED session (same SparkContext, own
+    // SQLConf) so concurrent queries in the caller's session never see
+    // it and overlapping ingests cannot race on a save/restore.
     val targetSplits = math.max(spark.sparkContext.defaultParallelism * 2, cfg.buildPartitions)
     val splitBytes = math.max(4L << 20, stagingBytes / targetSplits)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
+    val derive = spark.newSession()
+    derive.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
 
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -196,12 +198,12 @@ object SegmentBuilder {
     // salts hot terms by CONTIGUOUS doc-range bucket — no per-shard
     // sampling scans at build time) from the tiny columnar docmap.
     val pass1 = Future {
-      spark.read.parquet(staging).select("doc_id", "sha", "doclen")
+      derive.read.parquet(staging).select("doc_id", "sha", "doclen")
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docmap")
-      spark.read.parquet(s"$indexDir/docmap")
+      derive.read.parquet(s"$indexDir/docmap")
         .agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl"))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
-      spark.read.parquet(s"$indexDir/docmap")
+      derive.read.parquet(s"$indexDir/docmap")
         .select(expr(s"approx_percentile(doc_id, array(${
           (1 until QuantileBuckets).map(i => i.toDouble / QuantileBuckets).mkString(",")}))")
           .as("splits"))
@@ -213,7 +215,7 @@ object SegmentBuilder {
       val postCols = Seq(col("p.term").as("term"), col("doc_id"), col("doclen"),
         col("p.tf").as("tf")) ++
         (if (cfg.storePositions) Seq(col("p.positions").as("positions")) else Nil)
-      spark.read.parquet(staging)
+      derive.read.parquet(staging)
         .select(col("doc_id"), col("doclen"), explode(col("pairs")).as("p"))
         .select(postCols: _*)
         .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
@@ -221,11 +223,7 @@ object SegmentBuilder {
         .parquet(s"$indexDir/postings")
     }
     val tDerive = System.nanoTime()
-    try Await.result(Future.sequence(Seq(pass1, pass2)), Duration.Inf)
-    finally prevSplit match {
-      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
-      case None    => spark.conf.unset("spark.sql.files.maxPartitionBytes")
-    }
+    Await.result(Future.sequence(Seq(pass1, pass2)), Duration.Inf)
     System.err.println(f"[ingest] derive passes: ${(System.nanoTime() - tDerive) / 1e9}%.1fs")
     new scala.reflect.io.Directory(new java.io.File(staging)).deleteRecursively()
     // Atomic ingest-complete marker, written only after BOTH passes
@@ -236,7 +234,8 @@ object SegmentBuilder {
     Files.createDirectories(dir)
     val tmp = dir.resolve("_ingested.tmp")
     Files.writeString(tmp,
-      s"v$LayoutVersion pos=${cfg.storePositions}\n" + lineage(spark, indexDir, cfg))
+      s"v$LayoutVersion pos=${cfg.storePositions} shards=${cfg.shards}\n" +
+        lineage(spark, indexDir, cfg))
     Files.move(tmp, dir.resolve("_ingested"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     ()
@@ -250,12 +249,29 @@ object SegmentBuilder {
 
   /** True iff a previous [[ingest]] ran to completion (both passes plus
     * the quantile-split table), UNDER THE CURRENT LAYOUT VERSION and
-    * the same index_options (a positions-flag flip must re-ingest). */
+    * the same index_options/shard count (a positions-flag or
+    * shard-count flip must re-ingest — the postings partitioning is
+    * hash-of-term mod shards, so readers prune by it). */
   def ingestDone(indexDir: String, cfg: EngineConfig = EngineConfig.default): Boolean =
     Files.exists(Paths.get(indexDir, "_ingested")) &&
       Files.exists(Paths.get(indexDir, "qsplits")) &&
       Files.readString(Paths.get(indexDir, "_ingested"))
-        .startsWith(s"v$LayoutVersion pos=${cfg.storePositions}\n")
+        .startsWith(s"v$LayoutVersion pos=${cfg.storePositions} shards=${cfg.shards}\n")
+
+  /** The shard count this index was WRITTEN with, from the ingest
+    * marker — serving must prune by the on-disk value, never by a
+    * caller-supplied config that may disagree (a silent mismatch would
+    * drop postings from pruned reads instead of failing). */
+  def indexShards(indexDir: String): Int = {
+    val marker = Paths.get(indexDir, "_ingested")
+    require(Files.exists(marker), s"$indexDir has no ingest marker — ingest first")
+    val head = Files.readString(marker).linesIterator.next()
+    "shards=(\\d+)".r.findFirstMatchIn(head) match {
+      case Some(m) => m.group(1).toInt
+      case None => throw new IllegalArgumentException(
+        s"$indexDir ingest marker has no shard count (pre-v2 layout) — re-ingest")
+    }
+  }
 
   /** Doc-space CDF resolution for range salting. */
   val QuantileBuckets = 1024

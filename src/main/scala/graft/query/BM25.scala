@@ -122,7 +122,7 @@ object BM25 {
       return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
     val (n, avgdl) = graft.index.SegmentBuilder.readStats(spark, indexDir)
     val pruned = prunedPositionalPostings(spark, indexDir,
-      analyzed.flatMap(_._2).distinct, cfg)
+      analyzed.flatMap(_._2).distinct)
     phraseTopKOver(pruned, n, avgdl, analyzed, cfg, slop)
   }
 
@@ -142,13 +142,16 @@ object BM25 {
     * driver-side via [[termShard]] — zero Spark jobs) and
     * `term IN (...)` pushed into the parquet reader (row-group stats +
     * dictionary pruning). This is the ONLY corpus touch a served phrase
-    * query makes. */
+    * query makes. The shard count comes from the index's OWN ingest
+    * marker, never from a caller config — a silent mismatch would drop
+    * postings from the pruned read instead of failing. */
   def prunedPositionalPostings(spark: SparkSession, indexDir: String,
-                               terms: Seq[String], cfg: EngineConfig): DataFrame = {
+                               terms: Seq[String]): DataFrame = {
     val all = spark.read.parquet(s"$indexDir/postings")
     require(all.columns.contains("positions"),
       s"$indexDir/postings has no positions column (pre-v2 layout) — re-ingest")
-    val termShards = terms.map(termShard(_, cfg.shards)).distinct
+    val diskShards = graft.index.SegmentBuilder.indexShards(indexDir)
+    val termShards = terms.map(termShard(_, diskShards)).distinct
     all.filter(col("shard").isInCollection(termShards))
       .filter(col("term").isInCollection(terms))
       .select("term", "doc_id", "doclen", "tf", "positions")

@@ -88,10 +88,15 @@ class Bm25Spec extends SparkSuite {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
           .sortBy(t => (t._1, t._2)).toSeq
+      val direct = rows(BM25.phraseTopK(spark, docsDf, col("doc_id"), col("text"),
+        SparkEntry.PhraseQuerySet, SparkEntry.IndexCfg))
       assert(rows(BM25.phraseTopKIndexed(spark, dir, SparkEntry.PhraseQuerySet,
-          SparkEntry.IndexCfg)) ===
-        rows(BM25.phraseTopK(spark, docsDf, col("doc_id"), col("text"),
-          SparkEntry.PhraseQuerySet, SparkEntry.IndexCfg)))
+          SparkEntry.IndexCfg)) === direct)
+      // shard pruning comes from the index's OWN marker: a caller cfg
+      // with a different shard count must not silently drop postings
+      assert(graft.index.SegmentBuilder.indexShards(dir) === SparkEntry.IndexCfg.shards)
+      assert(rows(BM25.phraseTopKIndexed(spark, dir, SparkEntry.PhraseQuerySet,
+          SparkEntry.IndexCfg.copy(shards = 16))) === direct)
       assert(rows(BM25.phraseTopKIndexed(spark, dir, SparkEntry.PhraseSlopQuerySet,
           SparkEntry.IndexCfg, slop = SparkEntry.PhraseSlop)) ===
         rows(BM25.phraseTopK(spark, docsDf, col("doc_id"), col("text"),

@@ -82,7 +82,7 @@ class PlanSpec extends SparkSuite {
         .map { case (q, t) => (q, CodeTokenizer.tokenize(t).toSeq) }
         .filter(_._2.nonEmpty)
       val pruned = BM25.prunedPositionalPostings(spark, dir,
-        analyzed.flatMap(_._2).distinct, SparkEntry.IndexCfg)
+        analyzed.flatMap(_._2).distinct)
       val scanPlan = pruned.queryExecution.executedPlan.toString
       assert(scanPlan.contains("In(term"),
         s"term IN (...) must reach the parquet reader (PushedFilters):\n$scanPlan")

@@ -5,7 +5,6 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.config.EngineConfig
 import graft.index.SegmentBuilder
 
 /** Throwaway measurement harness (not part of the engine surface):
@@ -27,24 +26,26 @@ object ScaleProbe {
       b.config("spark.local.dir", "/dev/shm/graft-spark-local")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val cfg = EngineConfig.default
-
-    def corpus(parts: Int) =
-      spark.range(0, replicas, 1, parts).toDF("rep")
-        .crossJoin(broadcast(spark.read.parquet(s"$sfDir/documents.parquet")))
-        .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"), col("text"))
+    // SAME cfg and corpus generator as the bench it explains — the
+    // probe's only degree of freedom is the task-layout granularity
+    val cfg = graft.SparkEntry.IndexCfg.copy(buildPartitions = 32)
+    val tmpBase = if (new java.io.File("/dev/shm").isDirectory)
+      java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
 
     def run(tag: String, parts: Int): Unit = {
-      val dir = Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), "probe_").toString
-      val t0 = System.nanoTime()
-      SegmentBuilder.ingest(spark, corpus(parts), col("doc_id"), col("text"), dir, cfg)
-      val t1 = System.nanoTime()
-      SegmentBuilder.buildAll(spark, dir, cfg, concurrency = 4)
-      val t2 = System.nanoTime()
-      System.err.println(f"[probe] $tag parts=$parts ingest=${(t1 - t0) / 1e9}%.1fs " +
-        f"buildAll=${(t2 - t1) / 1e9}%.1fs total=${(t2 - t0) / 1e9}%.1fs")
-      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      val dir = Files.createTempDirectory(tmpBase, "probe_").toString
+      try {
+        val corpus = graft.Bench.benchDocs(spark, sfDir, replicas, parts)
+        val t0 = System.nanoTime()
+        SegmentBuilder.ingest(spark, corpus, col("doc_id"), col("text"), dir, cfg)
+        val t1 = System.nanoTime()
+        SegmentBuilder.buildAll(spark, dir, cfg, concurrency = 4)
+        val t2 = System.nanoTime()
+        System.err.println(f"[probe] $tag parts=$parts ingest=${(t1 - t0) / 1e9}%.1fs " +
+          f"buildAll=${(t2 - t1) / 1e9}%.1fs total=${(t2 - t0) / 1e9}%.1fs")
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively(); ()
+      }
     }
 
     run("warmup", 32)
