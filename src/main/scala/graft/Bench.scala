@@ -48,7 +48,8 @@ object Bench {
     "es_json_coercion",
     "ft_postings", "ft_df", "ft_bm25_topk", "ft_bm25_conj", "ft_phrase",
     "ft_phrase_slop",
-    "ft_wand_topk", "ing_docmap", "dd_exact", "dd_minhash_lsh", "dd_cluster",
+    "ft_wand_topk", "ing_docmap", "code_docmap", "code_ft_topk",
+    "dd_exact", "dd_minhash_lsh", "dd_cluster",
     "dd_simhash", "dd_embed_cosine", "sim_cosine_topk", "sim_batch_topk",
     "sim_ann_topk", "sim_ivf_topk",
     "txt_quality", "txt_repetition", "txt_tokens", "txt_fingerprint", "txt_langid",

@@ -131,6 +131,35 @@ object OracleSql {
        |tokl AS (SELECT doc_id, len(tokens)::BIGINT AS doclen, unnest(tokens) AS term FROM toks),
        |post AS (SELECT term, doc_id, doclen, count(*) AS tf FROM tokl GROUP BY 1, 2, 3)""".stripMargin
 
+  /** The input_hint code corpus, synthesized EXACTLY as
+    * graft.sources.CodeCorpus does (same concats, same sha256 slices,
+    * same newline-delimited key, same 60-bit surrogate — DuckDB's
+    * ('0x'||hex)::BIGINT mirrors Spark's conv(hex,16,10)). */
+  private val codeCte =
+    """code AS (
+      |  SELECT concat('repo-', source) AS repo,
+      |    concat('src/', lang, '/doc_', CAST(doc_id AS VARCHAR), '.txt') AS path,
+      |    substring(sha256(concat('c|', CAST(doc_id AS VARCHAR))), 1, 40) AS "commit",
+      |    lang, text AS content
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT *, sha256(concat_ws(chr(10), repo, path, "commit")) AS doc_key FROM code),
+      |codeids AS (
+      |  SELECT CAST(('0x' || substring(doc_key, 1, 15)) AS BIGINT) AS doc_id, *
+      |  FROM keyed)""".stripMargin
+
+  /** Postings CTE over the code corpus (content column, surrogate ids). */
+  private val codePostCte =
+    s"""WITH $codeCte,
+       |toks AS (SELECT doc_id, ${CodeTokenizer.sqlTokenArray("content")} AS tokens FROM codeids),
+       |tokl AS (SELECT doc_id, len(tokens)::BIGINT AS doclen, unnest(tokens) AS term FROM toks),
+       |post AS (SELECT term, doc_id, doclen, count(*) AS tf FROM tokl GROUP BY 1, 2, 3)""".stripMargin
+
+  private val codeDocmap =
+    s"""WITH $codeCte
+       |SELECT doc_id, repo, path, "commit", lang, sha256(content) AS sha
+       |FROM codeids ORDER BY doc_id""".stripMargin
+
   private val ftPostings =
     s"$postCte SELECT term, doc_id, doclen, tf FROM post ORDER BY term, doc_id"
 
@@ -143,14 +172,15 @@ object OracleSql {
   private val ftDf =
     s"$postCte SELECT term, count(*) AS df FROM post GROUP BY 1 ORDER BY df DESC, term"
 
-  private def ftBm25(conjunctive: Boolean = false): String = {
+  private def ftBm25(conjunctive: Boolean = false,
+                     srcCte: String = postCte): String = {
     val pairs = SparkEntry.FtQuerySet.flatMap { case (qid, text) =>
       val ts = CodeTokenizer.queryTerms(text)
       ts.map(t => s"($qid, '$t', ${ts.size})")
     }
     val having = if (conjunctive) " HAVING count(*) = max(n_terms)" else ""
     val (k1, b) = (cfg.k1, cfg.b)
-    s"""$postCte,
+    s"""$srcCte,
        |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
        |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
        |q(qid, term, n_terms) AS (VALUES ${pairs.mkString(", ")}),
@@ -550,6 +580,8 @@ object OracleSql {
     "ft_phrase_slop"      -> ftPhraseSlop,
     "ft_wand_topk"        -> ftBm25(), // WAND must be rank-identical to the declarative path
     "ing_docmap"          -> ingDocmap,
+    "code_docmap"         -> codeDocmap,
+    "code_ft_topk"        -> ftBm25(srcCte = codePostCte),
     "q_ts_coercion"       -> qTsCoercion,
     "q3_topk"             -> q3Topk,
     "q_window_running"    -> qWindowRunning,

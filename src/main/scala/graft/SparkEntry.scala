@@ -334,6 +334,35 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The north-rule INPUT TABLE (BASELINE.json input_hint): the
+    * Iceberg-shaped source-code corpus (repo, path, commit, lang,
+    * content), synthesized deterministically (graft.sources.CodeCorpus)
+    * with the (repo, path, commit)-derived doc identity. This query IS
+    * the identity surface: doc_id surrogate, full-key digest columns,
+    * per-row sha256(content) invariant — and the surrogate-collision
+    * gate runs (fails loud rather than merging documents). */
+  private def qCodeDocmap(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CodeCorpus
+    CodeCorpus.withDocIds(CodeCorpus.synthesize(s, dir))
+      .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("sha"))
+      .orderBy("doc_id")
+  }
+
+  /** Full-text BM25 over the input_hint corpus shape end-to-end:
+    * synthesize -> derive doc ids -> tokenize content -> rank. Same
+    * query set as ft_bm25_topk; doc ids are the 60-bit surrogates. */
+  private def qCodeFtTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CodeCorpus
+    // gate off here: code_docmap + CodeCorpusSpec own the collision
+    // check; a ranked query must not pay a corpus-wide distinct-count
+    val code = CodeCorpus.withDocIds(CodeCorpus.synthesize(s, dir),
+      failOnCollision = false)
+    BM25.topK(s, code, col("doc_id"), col("content"), FtQuerySet)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+  }
+
   // ---------------------------------------------------------------------
   // Training-data pipeline operators (builder prompt)
   // ---------------------------------------------------------------------
@@ -651,6 +680,8 @@ object SparkEntry {
     "ft_phrase_slop"      -> (qFtPhraseSlop _),
     "ft_wand_topk"        -> (qFtWand _),
     "ing_docmap"          -> (qIngDocmap _),
+    "code_docmap"         -> (qCodeDocmap _),
+    "code_ft_topk"        -> (qCodeFtTopk _),
     "q_ts_coercion"       -> (qTsCoercion _),
     "q3_topk"             -> (qQ3Topk _),
     "q_window_running"    -> (qWindowRunning _),
