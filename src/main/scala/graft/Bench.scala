@@ -49,6 +49,7 @@ object Bench {
     "ft_postings", "ft_df", "ft_bm25_topk", "ft_bm25_conj", "ft_phrase",
     "ft_phrase_slop",
     "ft_wand_topk", "ing_docmap", "code_docmap", "code_ft_topk",
+    "code_wand_topk",
     "dd_exact", "dd_minhash_lsh", "dd_cluster",
     "dd_simhash", "dd_embed_cosine", "sim_cosine_topk", "sim_batch_topk",
     "sim_ann_topk", "sim_ivf_topk",

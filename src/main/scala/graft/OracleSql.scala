@@ -582,6 +582,8 @@ object OracleSql {
     "ing_docmap"          -> ingDocmap,
     "code_docmap"         -> codeDocmap,
     "code_ft_topk"        -> ftBm25(srcCte = codePostCte),
+    // WAND over the code index must be rank-identical to declarative
+    "code_wand_topk"      -> ftBm25(srcCte = codePostCte),
     "q_ts_coercion"       -> qTsCoercion,
     "q3_topk"             -> q3Topk,
     "q_window_running"    -> qWindowRunning,

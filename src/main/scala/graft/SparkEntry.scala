@@ -293,26 +293,44 @@ object SparkEntry {
     * engine, not the sandbox's virtio disk — same rule as Bench), and
     * resume gates on the atomic ingest-complete marker, not on stats
     * existence (a crash between the two ingest passes must re-ingest). */
-  def ensureIndex(s: SparkSession, dir: String): String = {
-    // Cache key covers the source CONTENT, not just its path: a
-    // regenerated documents.parquet at the same path must produce a
-    // fresh index, never serve stale hits from the previous corpus
-    // (cheap driver-side listing — name:size:mtime per data file).
+  // Cache key covers the source CONTENT, not just its path: a
+  // regenerated documents.parquet at the same path must produce a
+  // fresh index, never serve stale hits from the previous corpus
+  // (cheap driver-side listing — name:size:mtime per data file).
+  private def corpusKey(dir: String, salt: String): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
     val listing = Option(src.listFiles())
       .map(_.filter(_.getName.endsWith(".parquet"))
         .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString(","))
       .getOrElse(s"${src.length}:${src.lastModified}")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$listing".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$listing|$salt".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
+  private def ensureIndexOver(s: SparkSession, key: String,
+                              docs: => DataFrame, contentCol: Column): String = {
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
     val idx = s"$base/graft_index_$key"
     if (!SegmentBuilder.ingestDone(idx, IndexCfg))
-      SegmentBuilder.ingest(s, tbl(s, dir, "documents"),
-        col("doc_id"), col("text"), idx, IndexCfg)
+      SegmentBuilder.ingest(s, docs, col("doc_id"), contentCol, idx, IndexCfg)
     SegmentBuilder.buildAll(s, idx, IndexCfg)
     idx
   }
+
+  def ensureIndex(s: SparkSession, dir: String): String =
+    ensureIndexOver(s, corpusKey(dir, "docs"),
+      tbl(s, dir, "documents"), col("text"))
+
+  /** Segment index over the input_hint code corpus (synthesized shape,
+    * surrogate doc ids) — the full north-star path on the exact input
+    * table: Iceberg-shaped source -> identity -> salted postings ->
+    * compressed segments -> WAND. */
+  def ensureCodeIndex(s: SparkSession, dir: String): String =
+    ensureIndexOver(s, corpusKey(dir, "code"),
+      graft.sources.CodeCorpus.withDocIds(
+        graft.sources.CodeCorpus.synthesize(s, dir), failOnCollision = false),
+      col("content"))
 
   /** Block-max WAND over the compressed segment index — must be
     * rank-identical to the declarative ft_bm25_topk (same SQL oracle). */
@@ -359,6 +377,17 @@ object SparkEntry {
     val code = CodeCorpus.withDocIds(CodeCorpus.synthesize(s, dir),
       failOnCollision = false)
     BM25.topK(s, code, col("doc_id"), col("content"), FtQuerySet)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+  }
+
+  /** Block-max WAND over the code-corpus segment index — the north
+    * star verbatim: the input_hint table, indexed and served, must be
+    * rank-identical (doc ids AND scores) to the declarative BM25 over
+    * the same synthesized corpus (same SQL oracle as code_ft_topk). */
+  private def qCodeWand(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureCodeIndex(s, dir)
+    Wand.topK(s, idx, FtQuerySet, IndexCfg)
       .select(col("qid"), col("rank"), col("doc_id"),
         format_string("%.4f", col("score")).as("score"))
   }
@@ -682,6 +711,7 @@ object SparkEntry {
     "ing_docmap"          -> (qIngDocmap _),
     "code_docmap"         -> (qCodeDocmap _),
     "code_ft_topk"        -> (qCodeFtTopk _),
+    "code_wand_topk"      -> (qCodeWand _),
     "q_ts_coercion"       -> (qTsCoercion _),
     "q3_topk"             -> (qQ3Topk _),
     "q_window_running"    -> (qWindowRunning _),
