@@ -126,10 +126,14 @@ object OracleSql {
 
   // --- full-text engine ---------------------------------------------------
 
-  private val postCte =
-    s"""WITH $toksCte,
+  /** tokl/post pipeline over a given `toks` CTE — written ONCE so the
+    * documents and code-corpus oracles cannot drift. */
+  private def postPipeline(withClause: String): String =
+    s"""$withClause,
        |tokl AS (SELECT doc_id, len(tokens)::BIGINT AS doclen, unnest(tokens) AS term FROM toks),
        |post AS (SELECT term, doc_id, doclen, count(*) AS tf FROM tokl GROUP BY 1, 2, 3)""".stripMargin
+
+  private val postCte = postPipeline(s"WITH $toksCte")
 
   /** The input_hint code corpus, synthesized EXACTLY as
     * graft.sources.CodeCorpus does (same concats, same sha256 slices,
@@ -149,11 +153,9 @@ object OracleSql {
       |  FROM keyed)""".stripMargin
 
   /** Postings CTE over the code corpus (content column, surrogate ids). */
-  private val codePostCte =
+  private val codePostCte = postPipeline(
     s"""WITH $codeCte,
-       |toks AS (SELECT doc_id, ${CodeTokenizer.sqlTokenArray("content")} AS tokens FROM codeids),
-       |tokl AS (SELECT doc_id, len(tokens)::BIGINT AS doclen, unnest(tokens) AS term FROM toks),
-       |post AS (SELECT term, doc_id, doclen, count(*) AS tf FROM tokl GROUP BY 1, 2, 3)""".stripMargin
+       |toks AS (SELECT doc_id, ${CodeTokenizer.sqlTokenArray("content")} AS tokens FROM codeids)""".stripMargin)
 
   private val codeDocmap =
     s"""WITH $codeCte

@@ -327,7 +327,11 @@ object SparkEntry {
     * table: Iceberg-shaped source -> identity -> salted postings ->
     * compressed segments -> WAND. */
   def ensureCodeIndex(s: SparkSession, dir: String): String =
-    ensureIndexOver(s, corpusKey(dir, "code"),
+    // the salt carries a SYNTHESIS version: the indexed corpus is a
+    // function of CodeCorpus.synthesize, not just the source file, so
+    // a derivation change must invalidate the cache — bump on any
+    // synthesize()/docKey change
+    ensureIndexOver(s, corpusKey(dir, "code-v1"),
       graft.sources.CodeCorpus.withDocIds(
         graft.sources.CodeCorpus.synthesize(s, dir), failOnCollision = false),
       col("content"))

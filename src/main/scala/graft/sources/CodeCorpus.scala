@@ -72,10 +72,25 @@ object CodeCorpus {
       .withColumn("doc_key", docKeyCol(col("repo"), col("path"), col("commit")))
       .withColumn("doc_id", docIdCol(col("doc_key")))
     if (failOnCollision) {
-      val r = out.agg(countDistinct(col("doc_key")).as("keys"),
+      // ONE aggregation, three invariants: (a) no null identity parts
+      // (nulls would diverge from the oracle's concat semantics AND
+      // hide from countDistinct), (b) the triple is UNIQUE per row
+      // (the reference's `elasticsearch_id TEXT UNIQUE` — a duplicate
+      // key would silently double-count postings), (c) the 60-bit
+      // surrogate is injective over the keys.
+      val r = out.agg(
+        count(lit(1)).as("rows"),
+        count(when(col("repo").isNull || col("path").isNull ||
+          col("commit").isNull, 1)).as("nulls"),
+        countDistinct(col("doc_key")).as("keys"),
         countDistinct(col("doc_id")).as("ids")).head()
-      require(r.getLong(0) == r.getLong(1),
-        s"doc_id surrogate collision: ${r.getLong(0)} keys -> ${r.getLong(1)} ids; " +
+      require(r.getLong(1) == 0L,
+        s"${r.getLong(1)} rows have a null repo/path/commit — identity undefined")
+      require(r.getLong(0) == r.getLong(2),
+        s"duplicate (repo, path, commit): ${r.getLong(0)} rows -> ${r.getLong(2)} keys; " +
+          "the identity triple must be unique per row")
+      require(r.getLong(2) == r.getLong(3),
+        s"doc_id surrogate collision: ${r.getLong(2)} keys -> ${r.getLong(3)} ids; " +
           "re-key (widen the surrogate) before indexing")
     }
     out

@@ -45,6 +45,23 @@ class CodeCorpusSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).distinct.length === rows.length)
   }
 
+  test("identity gate fails loud on duplicate triples and null identity parts") {
+    import spark.implicits._
+    val dup = Seq(
+      ("r1", "a/b.txt", "c0ffee", "en", "one"),
+      ("r1", "a/b.txt", "c0ffee", "en", "two") // same triple, different content
+    ).toDF("repo", "path", "commit", "lang", "content")
+    val e1 = intercept[IllegalArgumentException] { CodeCorpus.withDocIds(dup) }
+    assert(e1.getMessage.contains("duplicate"),
+      "a duplicated identity triple must fail, not silently double-count postings")
+    val nul = Seq(
+      (Some("r1"), Some("a/b.txt"), Option.empty[String], "en", "x")
+    ).toDF("repo", "path", "commit", "lang", "content")
+    val e2 = intercept[IllegalArgumentException] { CodeCorpus.withDocIds(nul) }
+    assert(e2.getMessage.contains("null"),
+      "null identity parts must fail (they also diverge from the oracle's concat semantics)")
+  }
+
   test("commit is 40-hex (git-SHA-shaped) and paths embed lang") {
     val code = CodeCorpus.synthesize(spark, sfDir).collect()
     code.foreach { r =>
