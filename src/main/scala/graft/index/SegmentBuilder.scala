@@ -247,6 +247,44 @@ object SegmentBuilder {
     * readers don't expect (e.g. phrase queries finding no positions). */
   val LayoutVersion = 2
 
+  /** Incremental append (streaming-style / micro-batch): docmap
+    * identity rows plus postings for `docs`, written in the store's
+    * OWN layout — positional iff the index was ingested with
+    * `storePositions` (a freqs-only append into a positional store
+    * would feed phrase serving null position lists). Corpus stats and
+    * qsplits deliberately do NOT refresh: avgdl/N drift only softens
+    * BM25 normalization and salt balance for the appended tail (and
+    * refreshing stats would change EVERY shard's lineage, forcing a
+    * full rebuild — ES likewise rescores only on merge); shard
+    * manifests invalidate via the postings file listing, so a
+    * subsequent [[buildAll]] rebuilds exactly the touched shards. */
+  def appendDocs(spark: SparkSession, docs: DataFrame, idCol: Column,
+                 contentCol: Column, indexDir: String,
+                 cfg: EngineConfig = EngineConfig.default): Unit = {
+    require(ingestDone(indexDir, cfg),
+      s"$indexDir is not a completed ingest under this layout/config — " +
+        "appends require a full ingest first")
+    val tok = if (cfg.storePositions) graft.analyze.CodeTokenizer.tokenPosCol(contentCol)
+              else graft.analyze.CodeTokenizer.tokenTfCol(contentCol)
+    val staged = docs.select(idCol.cast("long").as("doc_id"),
+        sha2(contentCol.cast("string"), 256).as("sha"), tok.as("t"))
+      .select(col("doc_id"), col("sha"),
+        col("t.doclen").as("doclen"), col("t.pairs").as("pairs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      staged.select("doc_id", "sha", "doclen")
+        .write.mode(SaveMode.Append).parquet(s"$indexDir/docmap")
+      val postCols = Seq(col("p.term").as("term"), col("doc_id"), col("doclen"),
+        col("p.tf").as("tf")) ++
+        (if (cfg.storePositions) Seq(col("p.positions").as("positions")) else Nil)
+      staged.select(col("doc_id"), col("doclen"), explode(col("pairs")).as("p"))
+        .select(postCols: _*)
+        .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
+        .write.mode(SaveMode.Append).partitionBy("shard")
+        .parquet(s"$indexDir/postings")
+    } finally { staged.unpersist(); () }
+  }
+
   /** True iff a previous [[ingest]] ran to completion (both passes plus
     * the quantile-split table), UNDER THE CURRENT LAYOUT VERSION and
     * the same index_options/shard count (a positions-flag or

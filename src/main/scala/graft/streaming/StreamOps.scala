@@ -88,23 +88,23 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp", "__ts")
 
-  /** Micro-batch incremental index ingest: append each micro-batch's
-    * postings (shard-partitioned, same layout as SegmentBuilder stage 0)
-    * — the streaming counterpart of the reference's batched inserts
+  /** Micro-batch incremental index ingest: each micro-batch appends
+    * docmap rows + postings through [[graft.index.SegmentBuilder.appendDocs]]
+    * — the STORE'S layout (positional iff ingested so), never a
+    * hand-rolled shape that could silently diverge from it. The
+    * streaming counterpart of the reference's batched inserts
     * (/root/reference/Services/MigrationService.cs:454-492). Segment
     * rebuild per shard is then an incremental buildAll over the touched
     * shards. */
   def indexIngestStream(docsStream: DataFrame, idCol: Column, contentCol: Column,
-                        indexDir: String, shards: Int,
+                        indexDir: String, cfg: graft.config.EngineConfig,
                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Postings.build(batch, idCol, contentCol)
-          .withColumn("shard", pmod(xxhash64(col("term")), lit(shards)).cast("int"))
-          .write.mode(SaveMode.Append).partitionBy("shard")
-          .parquet(s"$indexDir/postings")
+        graft.index.SegmentBuilder.appendDocs(batch.sparkSession, batch,
+          idCol, contentCol, indexDir, cfg)
       }
       .start()
 }

@@ -182,27 +182,34 @@ class SegmentBuilderSpec extends SparkSuite {
   }
 
   test("incremental append invalidates exactly the touched shards") {
-    import org.apache.spark.sql.SaveMode
     val dir = freshDir()
     try {
       buildIndex(dir)
       assert(SegmentBuilder.buildAll(spark, dir, cfg) === Seq.empty)
-      // streaming-style postings append for a handful of new docs
+      // streaming-style append for a handful of new docs, through the
+      // layout-aware API (docmap + postings in the store's own shape)
       val extra = spark.createDataFrame(Seq(
         (900001L, "completely new needle tokens appended incrementally"))).toDF("doc_id", "text")
-      Postings.build(extra, col("doc_id"), col("text"))
-        .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
-        .write.mode(SaveMode.Append).partitionBy("shard").parquet(s"$dir/postings")
+      SegmentBuilder.appendDocs(spark, extra, col("doc_id"), col("text"), dir, cfg)
       val touched = spark.read.parquet(s"$dir/postings")
         .filter(col("doc_id") === 900001L)
         .select("shard").distinct().collect().map(_.getInt(0)).toSet
       assert(touched.nonEmpty && touched.size < cfg.shards)
+      // appended rows carry the store's positional payload, and docmap
+      // gained the identity row
+      assert(spark.read.parquet(s"$dir/postings")
+        .filter(col("positions").isNull).count() === 0)
+      assert(spark.read.parquet(s"$dir/docmap")
+        .filter(col("doc_id") === 900001L).count() === 1)
       val rebuilt = SegmentBuilder.buildAll(spark, dir, cfg)
       assert(rebuilt.map(_.shard).toSet === touched,
         "only the shards whose postings changed may rebuild")
-      // the new doc is now searchable
+      // the new doc is now searchable, incl. by PHRASE over the index
       val hits = graft.query.Wand.topK(spark, dir, Seq(1 -> "incrementally"), cfg).collect()
       assert(hits.length === 1 && hits.head.getLong(2) === 900001L)
+      val ph = graft.query.BM25.phraseTopKIndexed(spark, dir,
+        Seq(1 -> "tokens appended incrementally"), cfg).collect()
+      assert(ph.length === 1 && ph.head.getLong(2) === 900001L)
     } finally new Directory(new java.io.File(dir)).deleteRecursively()
   }
 

@@ -73,27 +73,38 @@ class StreamOpsSpec extends SparkSuite {
     assert(texts === Array("alpha beta", "delta", "gamma"))
   }
 
-  test("incremental index ingest: postings accumulate across micro-batches") {
+  test("incremental index ingest: micro-batch appends land in the store's own layout") {
     val src = Files.createTempDirectory("stream_docs_").toString
     val idx = Files.createTempDirectory("stream_idx_").toString
     val chk = Files.createTempDirectory("stream_chk_").toString
     try {
+      val cfg = graft.config.EngineConfig.default
+        .copy(shards = 4, buildPartitions = 4, saltTargetPostings = 1024)
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select("doc_id", "text")
-      docs.filter(col("doc_id") < 250).write.parquet(s"$src/batch=a")
+      // appends require a completed ingest (stats/docmap/qsplits exist)
+      graft.index.SegmentBuilder.ingest(spark, docs.filter(col("doc_id") < 100),
+        col("doc_id"), col("text"), idx, cfg)
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 250)
+        .write.parquet(s"$src/batch=a")
       val stream = spark.readStream.schema(docs.schema).parquet(s"$src/*")
       val q = StreamOps.indexIngestStream(stream, col("doc_id"), col("text"),
-        idx, shards = 4, chk)
+        idx, cfg, chk)
       q.processAllAvailable()
       docs.filter(col("doc_id") >= 250).write.parquet(s"$src/batch=b")
       q.processAllAvailable()
       q.stop()
-      val streamed = spark.read.parquet(s"$idx/postings")
-        .select("term", "doc_id", "tf", "doclen").collect()
+      val post = spark.read.parquet(s"$idx/postings")
+      val streamed = post.select("term", "doc_id", "tf", "doclen").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       val direct = graft.index.Postings.build(docs, col("doc_id"), col("text"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(2))).toSet
       assert(streamed === direct)
+      // layout consistency: the positional store must never accumulate
+      // null position lists from appends (that would poison phrase
+      // serving) and docmap must cover every appended doc
+      assert(post.filter(col("positions").isNull).count() === 0)
+      assert(spark.read.parquet(s"$idx/docmap").count() === docs.count())
     } finally Seq(src, idx, chk).foreach(d =>
       new Directory(new java.io.File(d)).deleteRecursively())
   }
