@@ -285,6 +285,48 @@ object SegmentBuilder {
     } finally { staged.unpersist(); () }
   }
 
+  /** Target output-file size for [[compactShard]] (pre-compression
+    * input bytes per file; parquet re-encodes smaller). */
+  val CompactTargetBytes: Long = 64L << 20
+
+  /** Compact one shard's postings partition after many small appends —
+    * the streaming counterpart of a segment merge: micro-batch appends
+    * leave one file per batch per shard, and at streaming scale the
+    * scan cost becomes footer-bound. Rewrites the partition into
+    * ~bytes/[[CompactTargetBytes]] files with an IDENTICAL row set
+    * (whatever columns the store carries — positional or not).
+    *
+    * Crash safety (single-writer, like the build): the rewrite lands
+    * COMPLETELY in `_compact_tmp` first; only then the live dir moves
+    * to `_compact_trash`, tmp moves to live, trash is deleted. On
+    * entry, a leftover trash with no live dir (crash between the two
+    * moves) is restored, and any leftover tmp is discarded — so every
+    * crash point recovers to a consistent partition. The manifest
+    * invalidates via the postings file listing, so the next
+    * [[buildAll]] rebuilds exactly this shard. */
+  def compactShard(spark: SparkSession, indexDir: String, shard: Int,
+                   cfg: EngineConfig = EngineConfig.default): Unit = {
+    val live = Paths.get(s"$indexDir/postings/shard=$shard")
+    val tmp = Paths.get(s"$indexDir/_compact_tmp_shard=$shard")
+    val trash = Paths.get(s"$indexDir/_compact_trash_shard=$shard")
+    def rmTree(p: Path): Unit = {
+      new scala.reflect.io.Directory(p.toFile).deleteRecursively(); ()
+    }
+    // crash recovery: trash but no live = died between the two moves
+    if (Files.exists(trash) && !Files.exists(live)) Files.move(trash, live)
+    if (Files.exists(tmp)) rmTree(tmp)
+    require(Files.exists(live), s"no postings partition at $live")
+    val bytes = Option(live.toFile.listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
+    val nFiles = math.max(1L, (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+    spark.read.parquet(live.toString)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.move(live, trash)
+    Files.move(tmp, live)
+    rmTree(trash)
+  }
+
   /** True iff a previous [[ingest]] ran to completion (both passes plus
     * the quantile-split table), UNDER THE CURRENT LAYOUT VERSION and
     * the same index_options/shard count (a positions-flag or

@@ -213,6 +213,41 @@ class SegmentBuilderSpec extends SparkSuite {
     } finally new Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("compactShard merges append files, preserves rows exactly, rebuilds only that shard") {
+    val dir = freshDir()
+    try {
+      buildIndex(dir)
+      SegmentBuilder.buildAll(spark, dir, cfg)
+      (0 until 5).foreach { i =>
+        val extra = spark.createDataFrame(Seq(
+          (910000L + i, s"compactable needle batch$i tokens"))).toDF("doc_id", "text")
+        SegmentBuilder.appendDocs(spark, extra, col("doc_id"), col("text"), dir, cfg)
+      }
+      SegmentBuilder.buildAll(spark, dir, cfg) // absorb the appends
+      val sh = spark.read.parquet(s"$dir/postings")
+        .filter(col("doc_id") >= 910000L).select("shard").distinct()
+        .collect().map(_.getInt(0)).min
+      val part = s"$dir/postings/shard=$sh"
+      def files() = new java.io.File(part).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      def rows() = spark.read.parquet(part)
+        .select(col("term"), col("doc_id"), col("tf"), size(col("positions")).as("np"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .sorted.toSeq
+      val (fBefore, rBefore) = (files(), rows())
+      assert(fBefore > 1, "appends must have left multiple small files")
+      SegmentBuilder.compactShard(spark, dir, sh, cfg)
+      assert(files() < fBefore, "compaction must reduce the file count")
+      assert(rows() === rBefore, "compaction must preserve the row set exactly")
+      // file listing changed -> exactly this shard rebuilds, and the
+      // appended docs stay searchable afterwards
+      val rebuilt = SegmentBuilder.buildAll(spark, dir, cfg)
+      assert(rebuilt.map(_.shard) === Seq(sh))
+      val hits = graft.query.Wand.topK(spark, dir, Seq(1 -> "compactable"), cfg).collect()
+      assert(hits.length === 5)
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("lineage change (different config) invalidates checkpoints") {
     val dir = freshDir()
     try {
