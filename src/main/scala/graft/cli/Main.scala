@@ -10,7 +10,8 @@ import graft.metrics.Metrics
 import graft.query.Wand
 
 /** spark-submit entry point — the engine's operational surface
-  * (ingest | build | query | analyze), mirroring the reference's four
+  * (ingest | append | build | compact | merge | query | analyze |
+  * ping), mirroring the reference's four
   * IMigrationService operations (/root/reference/Interfaces/IMigrationService.cs:17-42)
   * including the dry-run analyzer (§3.3) and layered configuration with
   * environment overrides
@@ -194,6 +195,25 @@ object Main {
           s""""postings":${built.map(_.postings).sum},"bytes":${built.map(_.bytes).sum},""" +
           s""""secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
         spark.stop()
+      case "append" :: docs :: indexDir :: Nil =>
+        val spark = session("graft-append")
+        val m = Metrics.attach(spark)
+        val t0 = System.nanoTime()
+        SegmentBuilder.appendDocs(spark, spark.read.parquet(docs),
+          col("doc_id"), col("text"), indexDir, cfg)
+        println(s"""{"op":"append","secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
+        spark.stop()
+      case "compact" :: indexDir :: rest =>
+        val spark = session("graft-compact")
+        val t0 = System.nanoTime()
+        val shards = rest match {
+          case Nil => 0 until cfg.shards
+          case xs  => xs.map(_.toInt)
+        }
+        shards.foreach(sh => SegmentBuilder.compactShard(spark, indexDir, sh, cfg))
+        println(s"""{"op":"compact","shards":${shards.size},""" +
+          s""""secs":${(System.nanoTime() - t0) / 1e9}}""")
+        spark.stop()
       case "merge" :: indexDir :: outDir :: Nil =>
         val spark = session("graft-merge")
         val t0 = System.nanoTime()
@@ -218,9 +238,11 @@ object Main {
       case other =>
         System.err.println(
           s"unknown command: ${other.mkString(" ")}\n" +
-            "usage: ingest <docs.parquet> <indexDir> | build <indexDir> | " +
-            "merge <indexDir> <outDir> | query <indexDir> <text> [k] | " +
-            "analyze <docs.parquet> | ping <indexDir>")
+            "usage: ingest <docs.parquet> <indexDir> | " +
+            "append <docs.parquet> <indexDir> | build <indexDir> | " +
+            "compact <indexDir> [shard...] | merge <indexDir> <outDir> | " +
+            "query <indexDir> <text> [k] | analyze <docs.parquet> | " +
+            "ping <indexDir>")
         sys.exit(2)
     }
   }

@@ -100,6 +100,29 @@ class MainSpec extends SparkSuite {
     } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("append/compact lifecycle keeps the probe healthy and the index searchable") {
+    import org.apache.spark.sql.functions.col
+    val cfg = graft.config.EngineConfig.default.copy(
+      shards = 2, buildPartitions = 2, saltTargetPostings = 128)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_").toString
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      graft.index.SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, cfg)
+      graft.index.SegmentBuilder.buildAll(spark, dir, cfg)
+      import spark.implicits._
+      graft.index.SegmentBuilder.appendDocs(spark,
+        Seq((990001L, "lifecycle needle appended")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), dir, cfg)
+      (0 until cfg.shards).foreach(sh =>
+        graft.index.SegmentBuilder.compactShard(spark, dir, sh, cfg))
+      graft.index.SegmentBuilder.buildAll(spark, dir, cfg)
+      val (h, j) = Main.pingInfo(spark, dir, cfg)
+      assert(h, j)
+      val hits = graft.query.Wand.topK(spark, dir, Seq(1 -> "lifecycle"), cfg).collect()
+      assert(hits.length === 1 && hits.head.getLong(2) === 990001L)
+    } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("dry-run analyzer reports corpus stats and the go/no-go gate") {
     val r = Main.analyze(spark, "/root/testdata/sf0.001/documents.parquet").head()
     assert(r.getAs[Long]("total_docs") === 500)
