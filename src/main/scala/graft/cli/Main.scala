@@ -119,19 +119,23 @@ object Main {
                cfg: EngineConfig = EngineConfig.default): (Boolean, String) = {
     val sessionOk = !spark.sparkContext.isStopped
     val ingested = graft.index.SegmentBuilder.ingestDone(indexDir, cfg)
-    val (n, avgdl, shardsBuilt) =
-      if (!ingested) (0L, 0.0, 0)
+    val (n, avgdl, shardsBuilt, docmapN) =
+      if (!ingested) (0L, 0.0, 0, 0L)
       else try {
         val (n0, a0) = graft.index.SegmentBuilder.readStats(spark, indexDir)
         val built = (0 until cfg.shards).count(sh =>
           graft.index.SegmentBuilder.manifestDone(indexDir, sh,
             graft.index.SegmentBuilder.lineage(spark, indexDir, cfg, sh)))
-        (n0, a0, built)
-      } catch { case _: Exception => (0L, 0.0, 0) }
+        (n0, a0, built, spark.read.parquet(s"$indexDir/docmap").count())
+      } catch { case _: Exception => (0L, 0.0, 0, 0L) }
     val healthy = sessionOk && ingested && n > 0 && shardsBuilt == cfg.shards
+    // appended_docs surfaces stats drift from incremental appends
+    // (appendDocs deliberately leaves stats unrefreshed — see its doc):
+    // an operator watching this number decide when to re-ingest.
     val json =
       s"""{"op":"ping","healthy":$healthy,"session_ok":$sessionOk,""" +
-        s""""ingested":$ingested,"docs":$n,"avgdl":$avgdl,""" +
+        s""""ingested":$ingested,"docs":$n,"appended_docs":${math.max(0L, docmapN - n)},""" +
+        s""""avgdl":$avgdl,""" +
         s""""shards_built":$shardsBuilt,"shards_expected":${cfg.shards}}"""
     (healthy, json)
   }

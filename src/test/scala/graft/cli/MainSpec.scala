@@ -118,6 +118,8 @@ class MainSpec extends SparkSuite {
       graft.index.SegmentBuilder.buildAll(spark, dir, cfg)
       val (h, j) = Main.pingInfo(spark, dir, cfg)
       assert(h, j)
+      // the probe surfaces the append-induced stats drift
+      assert(j.contains("\"appended_docs\":1"), j)
       val hits = graft.query.Wand.topK(spark, dir, Seq(1 -> "lifecycle"), cfg).collect()
       assert(hits.length === 1 && hits.head.getLong(2) === 990001L)
     } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
