@@ -165,20 +165,27 @@ object Bench {
     spark.stop()
 
     // 1b. serving throughput: repeated WAND top-10 batches against the
-    // prebuilt compressed index (queries/sec over the reference set)
-    val qps: Double = if (skipQueries) -1.0 else {
+    // prebuilt compressed index, and repeated PHRASE batches against
+    // the same index's positional postings (queries/sec each)
+    val (qps, phraseQps): (Double, Double) = if (skipQueries) (-1.0, -1.0) else {
       val s2 = session(s"local[$cpus]", cpus.toInt)
       try {
         val idx = SparkEntry.ensureIndex(s2, sfDir)
         val handle = new graft.query.Wand.Handle(s2, idx, SparkEntry.IndexCfg)
-        // warmup
-        handle.topK(SparkEntry.FtQuerySet).write.mode("overwrite").format("noop").save()
-        val reps = 10
-        val t0 = System.nanoTime()
-        (1 to reps).foreach { _ =>
+        def timeReps(reps: Int, n: Int)(once: => Unit): Double = {
+          once // warmup
+          val t0 = System.nanoTime()
+          (1 to reps).foreach(_ => once)
+          reps * n / ((System.nanoTime() - t0) / 1e9)
+        }
+        val w = timeReps(10, SparkEntry.FtQuerySet.size) {
           handle.topK(SparkEntry.FtQuerySet).write.mode("overwrite").format("noop").save()
         }
-        reps * SparkEntry.FtQuerySet.size / ((System.nanoTime() - t0) / 1e9)
+        val p = timeReps(5, SparkEntry.PhraseQuerySet.size) {
+          graft.query.BM25.phraseTopKIndexed(s2, idx, SparkEntry.PhraseQuerySet,
+            SparkEntry.IndexCfg).write.mode("overwrite").format("noop").save()
+        }
+        (w, p)
       } finally s2.stop()
     }
 
@@ -208,6 +215,7 @@ object Bench {
         s""""failed":$failed,""" +
         s""""indexing":{"docs":$n8,"secs":$s8,"docs_per_sec":${thr8.round}},""" +
         s""""wand_queries_per_sec":${math.rint(qps * 10) / 10},""" +
+        s""""phrase_queries_per_sec":${math.rint(phraseQps * 10) / 10},""" +
         s""""scaling":{"cores_n":$scaleN,"cores_4n":${scaleN * 4},"docs_per_sec_n":${thr2.round},""" +
         s""""docs_per_sec_4n":${thr8.round},"efficiency":${math.rint(eff * 1000) / 1000}},""" +
         s""""query_metrics":${metrics.json}}""")
