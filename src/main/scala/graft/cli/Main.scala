@@ -210,12 +210,15 @@ object Main {
       case "compact" :: indexDir :: rest =>
         val spark = session("graft-compact")
         val t0 = System.nanoTime()
+        // shard range from the index's OWN marker, never the env config
+        // (a mismatched cfg would silently skip shards or abort mid-run)
         val shards = rest match {
-          case Nil => 0 until cfg.shards
+          case Nil => 0 until SegmentBuilder.indexShards(indexDir)
           case xs  => xs.map(_.toInt)
         }
-        shards.foreach(sh => SegmentBuilder.compactShard(spark, indexDir, sh, cfg))
-        println(s"""{"op":"compact","shards":${shards.size},""" +
+        val rewritten = shards.count(sh =>
+          SegmentBuilder.compactShard(spark, indexDir, sh, cfg))
+        println(s"""{"op":"compact","shards":${shards.size},"rewritten":$rewritten,""" +
           s""""secs":${(System.nanoTime() - t0) / 1e9}}""")
         spark.stop()
       case "merge" :: indexDir :: outDir :: Nil =>

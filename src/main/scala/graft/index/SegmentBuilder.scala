@@ -257,23 +257,46 @@ object SegmentBuilder {
     * refreshing stats would change EVERY shard's lineage, forcing a
     * full rebuild — ES likewise rescores only on merge); shard
     * manifests invalidate via the postings file listing, so a
-    * subsequent [[buildAll]] rebuilds exactly the touched shards. */
+    * subsequent [[buildAll]] rebuilds exactly the touched shards.
+    *
+    * Idempotency/crash contract (plain parquet has no ACID
+    * multi-table commit): docs whose doc_id is ALREADY in docmap are
+    * filtered out up front — via a docmap scan probed by the
+    * BROADCAST batch (left_semi), never a docmap shuffle — so a
+    * replayed micro-batch (Spark foreachBatch is at-least-once) is a
+    * no-op once the batch fully landed. Postings write FIRST, docmap
+    * last: the one remaining window (crash between the two writes,
+    * then replay) re-appends that batch's postings, which
+    * [[compactShard]] repairs by (term, doc_id) dedup — postings are
+    * unique on that pair by construction, so dedup only ever removes
+    * replayed rows. */
   def appendDocs(spark: SparkSession, docs: DataFrame, idCol: Column,
                  contentCol: Column, indexDir: String,
                  cfg: EngineConfig = EngineConfig.default): Unit = {
     require(ingestDone(indexDir, cfg),
       s"$indexDir is not a completed ingest under this layout/config — " +
         "appends require a full ingest first")
+    import spark.implicits._
+    val ids = docs.select(idCol.cast("long").as("doc_id"))
+    val already = spark.read.parquet(s"$indexDir/docmap").select("doc_id")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .distinct().as[Long].collect().toSet
+    val fresh = if (already.isEmpty) docs
+                else docs.filter(!idCol.cast("long").isInCollection(already))
+    if (already.nonEmpty && fresh.isEmpty) return // full replay: no-op
+    // same defensive spread as ingest: tokenization is the dominant
+    // compute and must never be serialized by a one-fat-file input
+    val spread =
+      if (fresh.rdd.getNumPartitions >= cfg.buildPartitions) fresh
+      else fresh.repartition(cfg.buildPartitions)
     val tok = if (cfg.storePositions) graft.analyze.CodeTokenizer.tokenPosCol(contentCol)
               else graft.analyze.CodeTokenizer.tokenTfCol(contentCol)
-    val staged = docs.select(idCol.cast("long").as("doc_id"),
+    val staged = spread.select(idCol.cast("long").as("doc_id"),
         sha2(contentCol.cast("string"), 256).as("sha"), tok.as("t"))
       .select(col("doc_id"), col("sha"),
         col("t.doclen").as("doclen"), col("t.pairs").as("pairs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      staged.select("doc_id", "sha", "doclen")
-        .write.mode(SaveMode.Append).parquet(s"$indexDir/docmap")
       val postCols = Seq(col("p.term").as("term"), col("doc_id"), col("doclen"),
         col("p.tf").as("tf")) ++
         (if (cfg.storePositions) Seq(col("p.positions").as("positions")) else Nil)
@@ -282,6 +305,8 @@ object SegmentBuilder {
         .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
         .write.mode(SaveMode.Append).partitionBy("shard")
         .parquet(s"$indexDir/postings")
+      staged.select("doc_id", "sha", "doclen")
+        .write.mode(SaveMode.Append).parquet(s"$indexDir/docmap")
     } finally { staged.unpersist(); () }
   }
 
@@ -293,38 +318,51 @@ object SegmentBuilder {
     * the streaming counterpart of a segment merge: micro-batch appends
     * leave one file per batch per shard, and at streaming scale the
     * scan cost becomes footer-bound. Rewrites the partition into
-    * ~bytes/[[CompactTargetBytes]] files with an IDENTICAL row set
-    * (whatever columns the store carries — positional or not).
+    * ~bytes/[[CompactTargetBytes]] files, deduplicated on
+    * (term, doc_id) — postings are unique on that pair by
+    * construction, so dedup is the designated repair for a replayed
+    * [[appendDocs]] batch (see its crash contract) and a no-op
+    * otherwise. Returns true iff the partition was rewritten.
+    *
+    * An already-compact partition (file count <= target) is SKIPPED —
+    * a rewrite renames every file, which would invalidate the shard's
+    * lineage and force a pointless segment rebuild; likewise a shard
+    * with no partition (no term hashed there) is a no-op, so
+    * compact-all loops pass over small corpora safely.
     *
     * Crash safety (single-writer, like the build): the rewrite lands
     * COMPLETELY in `_compact_tmp` first; only then the live dir moves
     * to `_compact_trash`, tmp moves to live, trash is deleted. On
-    * entry, a leftover trash with no live dir (crash between the two
-    * moves) is restored, and any leftover tmp is discarded — so every
-    * crash point recovers to a consistent partition. The manifest
-    * invalidates via the postings file listing, so the next
-    * [[buildAll]] rebuilds exactly this shard. */
+    * entry every crash point recovers: trash with no live (died
+    * between the moves) restores trash; trash WITH live (died before
+    * the trash delete) discards the trash — live already holds the
+    * compacted data; a leftover tmp is discarded. */
   def compactShard(spark: SparkSession, indexDir: String, shard: Int,
-                   cfg: EngineConfig = EngineConfig.default): Unit = {
+                   cfg: EngineConfig = EngineConfig.default): Boolean = {
     val live = Paths.get(s"$indexDir/postings/shard=$shard")
     val tmp = Paths.get(s"$indexDir/_compact_tmp_shard=$shard")
     val trash = Paths.get(s"$indexDir/_compact_trash_shard=$shard")
     def rmTree(p: Path): Unit = {
       new scala.reflect.io.Directory(p.toFile).deleteRecursively(); ()
     }
-    // crash recovery: trash but no live = died between the two moves
+    // crash recovery — see scaladoc
     if (Files.exists(trash) && !Files.exists(live)) Files.move(trash, live)
+    else if (Files.exists(trash)) rmTree(trash)
     if (Files.exists(tmp)) rmTree(tmp)
-    require(Files.exists(live), s"no postings partition at $live")
-    val bytes = Option(live.toFile.listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
+    if (!Files.exists(live)) return false // no term hashed to this shard
+    val dataFiles = Option(live.toFile.listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
+    val bytes = dataFiles.map(_.length()).sum
     val nFiles = math.max(1L, (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+    if (dataFiles.length <= nFiles) return false // already compact: don't churn lineage
     spark.read.parquet(live.toString)
+      .dropDuplicates("term", "doc_id")
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     Files.move(live, trash)
     Files.move(tmp, live)
     rmTree(trash)
+    true
   }
 
   /** True iff a previous [[ingest]] ran to completion (both passes plus

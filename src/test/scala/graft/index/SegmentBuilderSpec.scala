@@ -195,6 +195,12 @@ class SegmentBuilderSpec extends SparkSuite {
         .filter(col("doc_id") === 900001L)
         .select("shard").distinct().collect().map(_.getInt(0)).toSet
       assert(touched.nonEmpty && touched.size < cfg.shards)
+      // replayed batch (foreachBatch is at-least-once) must be a no-op
+      val postOnce = spark.read.parquet(s"$dir/postings")
+        .filter(col("doc_id") === 900001L).count()
+      SegmentBuilder.appendDocs(spark, extra, col("doc_id"), col("text"), dir, cfg)
+      assert(spark.read.parquet(s"$dir/postings")
+        .filter(col("doc_id") === 900001L).count() === postOnce)
       // appended rows carry the store's positional payload, and docmap
       // gained the identity row
       assert(spark.read.parquet(s"$dir/postings")
@@ -236,9 +242,16 @@ class SegmentBuilderSpec extends SparkSuite {
         .sorted.toSeq
       val (fBefore, rBefore) = (files(), rows())
       assert(fBefore > 1, "appends must have left multiple small files")
-      SegmentBuilder.compactShard(spark, dir, sh, cfg)
-      assert(files() < fBefore, "compaction must reduce the file count")
-      assert(rows() === rBefore, "compaction must preserve the row set exactly")
+      // simulate the one non-idempotent crash window: a replayed batch
+      // whose postings landed twice — compaction is the designated repair
+      val dupSrc = spark.read.parquet(part).filter(col("doc_id") === 910000L)
+      dupSrc.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(part)
+      assert(SegmentBuilder.compactShard(spark, dir, sh, cfg))
+      assert(files() < fBefore + 1, "compaction must reduce the file count")
+      assert(rows() === rBefore,
+        "compaction must restore the exact unique row set (replay rows dropped)")
+      assert(!SegmentBuilder.compactShard(spark, dir, sh, cfg),
+        "an already-compact partition must be skipped (no lineage churn)")
       // file listing changed -> exactly this shard rebuilds, and the
       // appended docs stay searchable afterwards
       val rebuilt = SegmentBuilder.buildAll(spark, dir, cfg)
