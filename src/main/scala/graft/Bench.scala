@@ -17,27 +17,40 @@ import graft.metrics.Metrics
   *    distorting the N-vs-4N comparison), and
   *  - the north-rule scaling evidence: the SAME indexing job at
   *    local[N] and local[4N] (default 2 vs 8 — the range where this
-  *    VM's vCPUs are linear; see BASELINE.md) on the SAME input, with
-  *    efficiency = thr(4N) / (4 * thr(N)). Fixed shuffle partitioning
-  *    (32) in both runs so only the core count varies; a warmup build
-  *    precedes each measured run so JIT state is comparable; index and
-  *    shuffle dirs live on tmpfs so the measurement captures the
-  *    engine, not the sandbox's virtio disk.
+  *    VM's vCPUs are linear; see BASELINE.md) on the SAME input,
+  *    measured as INTERLEAVED pairs with efficiency =
+  *    median over pairs of thr(4N)/(4 * thr(N)) (see scalingPairs).
+  *    Fixed shuffle partitioning (32) in both runs so only the core
+  *    count varies; one warmup build precedes the pairs so JIT state
+  *    is comparable; index and shuffle dirs live on tmpfs so the
+  *    measurement captures the engine, not the sandbox's virtio disk.
   */
 object Bench {
 
-  /** Serving-throughput floor (queries/sec at sf0.1 on tmpfs): a WAND
-    * serving regression must fail the bench as loudly as a broken query.
-    * The engine measures 19-29 qps on this VM (BENCH_r02/BASELINE.md);
-    * 10 sits far below the noise band but catches any structural
-    * regression (index back on virtio disk, lost fan-out, per-batch
-    * rebuild). Override via GRAFT_QPS_FLOOR (0 disables, e.g. on a
-    * corpus where the floor is not calibrated). */
-  val DefaultQpsFloor = 10.0
+  /** Serving-throughput floors (queries/sec at sf0.1 with the index on
+    * tmpfs — the ONLY condition they are calibrated for; see
+    * [[floorsArmed]]): a serving regression must fail the bench as
+    * loudly as a broken query. Calibration (r04): across host
+    * conditions this VM measures WAND at 12-32 qps and phrase at
+    * 4.7-6.9; the floors sit at ~60%/~40% of the observed LOW end, so
+    * they catch structural collapse (index back on virtio disk, lost
+    * fan-out, per-batch rebuild, positions re-tokenize — all of which
+    * measure <= 3 qps) without tripping on host-steal weather.
+    * Override via GRAFT_QPS_FLOOR / GRAFT_PHRASE_QPS_FLOOR (0
+    * disables). */
+  val DefaultQpsFloor = 8.0
+  val DefaultPhraseQpsFloor = 2.0
 
-  def qpsFloorViolation(qps: Double, floor: Double): Option[String] =
+  /** Default floors arm ONLY under the calibrated condition — the sf0.1
+    * corpus with a tmpfs index dir. On any other corpus or a host
+    * without /dev/shm the numbers mean something else entirely, and a
+    * spurious exit-1 would train operators to export floor=0 globally. */
+  def floorsArmed(sfDir: String): Boolean =
+    sfDir.endsWith("sf0.1") && new java.io.File("/dev/shm").isDirectory
+
+  def qpsFloorViolation(metric: String, qps: Double, floor: Double): Option[String] =
     if (floor > 0 && qps >= 0 && qps < floor)
-      Some(f"wand_queries_per_sec $qps%.1f below floor $floor%.1f")
+      Some(f"$metric $qps%.1f below floor $floor%.1f")
     else None
 
   private val HeadlineQueries = Seq(
@@ -45,7 +58,7 @@ object Bench {
     "q_antijoin", "q_validation_counts", "q_warnings_top", "q_sample_head",
     "q_window_running", "q_rollup", "q_distinct", "q_set_ops",
     "q_approx_distinct", "q_sessionize", "q_ts_coercion",
-    "es_json_coercion",
+    "es_json_coercion", "csv_coercion",
     "ft_postings", "ft_df", "ft_bm25_topk", "ft_bm25_conj", "ft_phrase",
     "ft_phrase_slop",
     "ft_wand_topk", "ing_docmap", "code_docmap", "code_ft_topk",
@@ -109,18 +122,75 @@ object Bench {
     (n, secs)
   }
 
-  /** Best-of-k measured runs after a warmup build — the VM's vCPUs are
-    * time-shared, so single wall-clock samples are noisy. */
-  private def scalingRun(master: String, sfDir: String, replicas: Int,
-                         samples: Int): (Long, Double) = {
+  /** One measured index build in its own session at `master`. */
+  private def sampleRun(master: String, sfDir: String, replicas: Int): (Long, Double) = {
     val spark = session(master, 32)
-    try {
-      indexRun(spark, sfDir, math.max(1, replicas / 8)) // warmup (JIT, codegen)
-      (1 to samples).map(_ => indexRun(spark, sfDir, replicas)).minBy(_._2)
-    } finally {
+    try indexRun(spark, sfDir, replicas)
+    finally {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
+    }
+  }
+
+  /** INTERLEAVED A/B scaling measurement — the methodology the repo's
+    * own round-3 notes proved necessary: separate best-of-N legs on
+    * this time-shared VM swing up to 2x between identical runs, so two
+    * non-interleaved legs can print any efficiency at all (r03's
+    * canonical 0.675 vs five hand-runs at 0.825-0.893). Alternating
+    * N-core and 4N-core samples puts both legs under the SAME host
+    * weather; best-of per leg then estimates the uncontended machine.
+    * One small warmup build precedes the pairs (JIT + codegen caches
+    * are JVM-global, so it warms every later session). Returns
+    * (docs, per-pair (sN, s4N) times). */
+  private def scalingPairs(scaleN: Int, sfDir: String, replicas: Int,
+                           pairs: Int): (Long, Seq[(Double, Double)]) = {
+    sampleRun(s"local[${scaleN * 4}]", sfDir, math.max(1, replicas / 8)) // warmup
+    var docs = 0L
+    val samples = (1 to pairs).map { _ =>
+      val (n, sN) = sampleRun(s"local[$scaleN]", sfDir, replicas)
+      val (_, s4N) = sampleRun(s"local[${scaleN * 4}]", sfDir, replicas)
+      docs = n
+      (sN, s4N)
+    }
+    (docs, samples)
+  }
+
+  /** Streaming-lifecycle timing: ingest+build a base corpus, append a
+    * 5% micro-batch through the layout-aware idempotent path, compact
+    * every shard, then rebuild exactly the touched shards — the full
+    * ingest->append->compact->rebuild cycle as one artifact-grade
+    * number per phase (seconds). */
+  private def lifecycleRun(spark: SparkSession, sfDir: String, replicas: Int)
+      : Seq[(String, Double)] = {
+    val cfg = SparkEntry.IndexCfg.copy(buildPartitions = 32)
+    val tmpBase = if (new java.io.File("/dev/shm").isDirectory)
+      java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
+    val dir = Files.createTempDirectory(tmpBase, "graft_bench_lc_").toString
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      val base = benchDocs(spark, sfDir, replicas)
+      val batch = benchDocs(spark, sfDir, math.max(1, replicas / 20))
+        .withColumn("doc_id", col("doc_id") + 900000000L)
+      val tIngest = timed {
+        SegmentBuilder.ingest(spark, base, col("doc_id"), col("text"), dir, cfg)
+        SegmentBuilder.buildAll(spark, dir, cfg, concurrency = 4)
+      }
+      val tAppend = timed {
+        SegmentBuilder.appendDocs(spark, batch, col("doc_id"), col("text"), dir, cfg)
+      }
+      val tCompact = timed {
+        (0 until cfg.shards).foreach(sh => SegmentBuilder.compactShard(spark, dir, sh, cfg))
+      }
+      val tRebuild = timed {
+        SegmentBuilder.buildAll(spark, dir, cfg, concurrency = 4)
+      }
+      Seq("ingest_build" -> tIngest, "append" -> tAppend,
+        "compact" -> tCompact, "rebuild" -> tRebuild)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively(); ()
     }
   }
 
@@ -166,43 +236,62 @@ object Bench {
 
     // 1b. serving throughput: repeated WAND top-10 batches against the
     // prebuilt compressed index, and repeated PHRASE batches against
-    // the same index's positional postings (queries/sec each)
-    val (qps, phraseQps): (Double, Double) = if (skipQueries) (-1.0, -1.0) else {
-      val s2 = session(s"local[$cpus]", cpus.toInt)
-      try {
-        val idx = SparkEntry.ensureIndex(s2, sfDir)
-        val handle = new graft.query.Wand.Handle(s2, idx, SparkEntry.IndexCfg)
-        def timeReps(reps: Int, n: Int)(once: => Unit): Double = {
-          once // warmup
-          val t0 = System.nanoTime()
-          (1 to reps).foreach(_ => once)
-          reps * n / ((System.nanoTime() - t0) / 1e9)
-        }
-        val w = timeReps(10, SparkEntry.FtQuerySet.size) {
-          handle.topK(SparkEntry.FtQuerySet).write.mode("overwrite").format("noop").save()
-        }
-        val p = timeReps(5, SparkEntry.PhraseQuerySet.size) {
-          graft.query.BM25.phraseTopKIndexed(s2, idx, SparkEntry.PhraseQuerySet,
-            SparkEntry.IndexCfg).write.mode("overwrite").format("noop").save()
-        }
-        (w, p)
-      } finally s2.stop()
-    }
+    // the same index's positional postings (queries/sec each), both
+    // through their reusable serving handles (the documented
+    // measurement condition: stats/metadata cached across batches)
+    val (qps, phraseQps, lifecycle): (Double, Double, Seq[(String, Double)]) =
+      if (skipQueries) (-1.0, -1.0, Nil) else {
+        val s2 = session(s"local[$cpus]", cpus.toInt)
+        try {
+          val idx = SparkEntry.ensureIndex(s2, sfDir)
+          val wandHandle = new graft.query.Wand.Handle(s2, idx, SparkEntry.IndexCfg)
+          val phraseHandle = new graft.query.BM25.PhraseHandle(s2, idx, SparkEntry.IndexCfg)
+          def timeReps(reps: Int, n: Int)(once: => Unit): Double = {
+            once // warmup
+            val t0 = System.nanoTime()
+            (1 to reps).foreach(_ => once)
+            reps * n / ((System.nanoTime() - t0) / 1e9)
+          }
+          val w = timeReps(10, SparkEntry.FtQuerySet.size) {
+            wandHandle.topK(SparkEntry.FtQuerySet)
+              .write.mode("overwrite").format("noop").save()
+          }
+          val p = timeReps(10, SparkEntry.PhraseQuerySet.size) {
+            phraseHandle.topK(SparkEntry.PhraseQuerySet)
+              .write.mode("overwrite").format("noop").save()
+          }
+          // 1c. streaming lifecycle (ingest->append->compact->rebuild)
+          val lc = lifecycleRun(s2, sfDir, math.max(1, replicas / 4))
+          (w, p, lc)
+        } finally s2.stop()
+      }
 
     // 2. scaling evidence: same indexing job at N and 4N cores (the
-    // sandbox stand-in for N vs 4N executors — see BASELINE.md). The
-    // scaling corpus is 2x the headline corpus (default 2M docs): the
-    // engine indexes >70k docs/s at 8 cores, so anything smaller lets
-    // fixed driver overhead (job submission, manifest commits) distort
-    // the N-vs-4N ratio.
+    // sandbox stand-in for N vs 4N executors — see BASELINE.md),
+    // INTERLEAVED (see scalingPairs). The scaling corpus is 2x the
+    // headline corpus (default 2M docs): the engine indexes >66k
+    // docs/s at 8 cores, so anything smaller lets fixed driver
+    // overhead (job submission, manifest commits) distort the ratio.
     val scaleN = sys.env.getOrElse("GRAFT_SCALE_N", "2").toInt
     val scaleReplicas = sys.env.getOrElse("GRAFT_SCALE_REPLICAS",
       (replicas * 2).toString).toInt
-    val (n2, s2) = scalingRun(s"local[$scaleN]", sfDir, scaleReplicas, samples = 2)
-    val (n8, s8) = scalingRun(s"local[${scaleN * 4}]", sfDir, scaleReplicas, samples = 3)
-    val thr2 = n2 / s2
-    val thr8 = n8 / s8
-    val eff = thr8 / (4.0 * thr2)
+    val scalePairs = sys.env.getOrElse("GRAFT_SCALE_SAMPLES", "3").toInt
+    val (nDocs, pairTimes) = scalingPairs(scaleN, sfDir, scaleReplicas, scalePairs)
+    val s2best = pairTimes.map(_._1).min
+    val s8best = pairTimes.map(_._2).min
+    val thr2 = nDocs / s2best
+    val thr8 = nDocs / s8best
+    // Efficiency is computed WITHIN each interleaved pair — that is
+    // the entire point of pairing: both legs of a pair share the same
+    // host weather, so the ratio cancels it, while a cross-pair ratio
+    // (best leg over best leg) reintroduces exactly the variance the
+    // interleaving removed. The headline is the MEDIAN pair; every
+    // per-pair ratio is in the artifact.
+    val pairEffs = pairTimes.map { case (sN, s4N) => sN / s4N / 4.0 }
+    val eff = {
+      val s = pairEffs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
@@ -210,23 +299,37 @@ object Bench {
     // (regexes), tabs, quotes; a blacklist would emit invalid JSON
     val failed = failures.map { case (k, e) => JsonUtil.q(s"$k: $e") }
       .mkString("[", ",", "]")
+    val pairsJson = pairTimes.zip(pairEffs).map { case ((a, b), e) =>
+      s"""{"secs_n":${math.rint(a * 100) / 100},"secs_4n":${math.rint(b * 100) / 100},""" +
+        s""""efficiency":${math.rint(e * 1000) / 1000}}"""
+    }.mkString("[", ",", "]")
+    val lcJson = lifecycle.map { case (k, v) =>
+      s""""$k":${math.rint(v * 100) / 100}""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""failed":$failed,""" +
-        s""""indexing":{"docs":$n8,"secs":$s8,"docs_per_sec":${thr8.round}},""" +
+        s""""indexing":{"docs":$nDocs,"secs":$s8best,"docs_per_sec":${thr8.round}},""" +
         s""""wand_queries_per_sec":${math.rint(qps * 10) / 10},""" +
         s""""phrase_queries_per_sec":${math.rint(phraseQps * 10) / 10},""" +
+        s""""append_compact":$lcJson,""" +
         s""""scaling":{"cores_n":$scaleN,"cores_4n":${scaleN * 4},"docs_per_sec_n":${thr2.round},""" +
-        s""""docs_per_sec_4n":${thr8.round},"efficiency":${math.rint(eff * 1000) / 1000}},""" +
+        s""""docs_per_sec_4n":${thr8.round},"efficiency":${math.rint(eff * 1000) / 1000},""" +
+        s""""method":"interleaved_median_of_$scalePairs","samples":$pairsJson},""" +
         s""""query_metrics":${metrics.json}}""")
     // fail loud: any broken headline query fails the bench run, and so
-    // does a serving-throughput regression below the floor
+    // does a serving-throughput regression below a floor. Default
+    // floors arm only under the condition they were calibrated for.
+    val armed = !skipQueries && floorsArmed(sfDir)
     val floor = sys.env.get("GRAFT_QPS_FLOOR").map(_.toDouble)
-      .getOrElse(if (skipQueries) 0.0 else DefaultQpsFloor)
-    qpsFloorViolation(qps, floor).foreach { msg =>
-      System.err.println(s"[bench] $msg")
-      sys.exit(1)
-    }
-    if (failures.nonEmpty) sys.exit(1)
+      .getOrElse(if (armed) DefaultQpsFloor else 0.0)
+    val phraseFloor = sys.env.get("GRAFT_PHRASE_QPS_FLOOR").map(_.toDouble)
+      .getOrElse(if (armed) DefaultPhraseQpsFloor else 0.0)
+    if (!armed && !skipQueries)
+      System.err.println("[bench] serving floors UNARMED (corpus/host outside calibration)")
+    val violations =
+      qpsFloorViolation("wand_queries_per_sec", qps, floor).toSeq ++
+        qpsFloorViolation("phrase_queries_per_sec", phraseQps, phraseFloor).toSeq
+    violations.foreach(msg => System.err.println(s"[bench] $msg"))
+    if (violations.nonEmpty || failures.nonEmpty) sys.exit(1)
   }
 }

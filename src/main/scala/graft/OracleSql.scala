@@ -281,6 +281,69 @@ object OracleSql {
     phraseScaffold(analyzed, candSelects)
   }
 
+  // Shared lenient-coercion SQL (AccessLog.nullNorm / boolCoerce /
+  // timestampCoerce twins), used by both source-parity oracles.
+  /** nullNorm: ''/whitespace/'null' (any case) -> NULL, else trimmed. */
+  private def nn(e: String) =
+    s"CASE WHEN trim($e) = '' OR lower(trim($e)) = 'null' THEN NULL ELSE trim($e) END"
+  private def boolc(e: String) =
+    s"COALESCE(CASE WHEN lower($e) IN ('true','1') THEN true " +
+      s"WHEN lower($e) IN ('false','0') THEN false END, false)"
+  private def tsc(e: String) =
+    s"""strftime(COALESCE(
+       |    try_strptime($e, '%Y-%m-%dT%H:%M:%S'),
+       |    try_strptime($e, '%Y-%m-%d %H:%M:%S'),
+       |    CASE WHEN try_cast($e AS BIGINT) IS NOT NULL THEN
+       |      CASE WHEN try_cast($e AS BIGINT) > 1000000000000
+       |           THEN epoch_ms(try_cast($e AS BIGINT))
+       |           ELSE epoch_ms(try_cast($e AS BIGINT) * 1000) END END
+       |  ), '%Y-%m-%d %H:%M:%S')""".stripMargin
+
+  /** CSV source oracle: DuckDB read_csv over the SAME deterministic
+    * RFC-4180 fixture the Spark query reads through
+    * readCsvWithErrorBudget, with the identical nullNorm + lenient
+    * try_cast/timestamp chain. `ignore_errors` skips the corrupt
+    * over-length line (the PERMISSIVE corrupt-record drop's twin) and
+    * the WHERE drops the missing-_id row, on both sides. */
+  private def csvCoercion: String = {
+    val path = graft.accesslog.CsvFixture.DefaultPath
+    s"""WITH r AS (
+       |  SELECT * FROM read_csv('$path', header=true, all_varchar=true,
+       |    ignore_errors=true, delim=',', quote='"', escape='"')),
+       |u AS (
+       |  SELECT
+       |    ${nn("\"_id\"")} AS id,
+       |    ${nn("\"_index\"")} AS idx,
+       |    ${nn("\"accessLog\"")} AS access_log,
+       |    ${nn("\"eventId\"")} AS event_id_s,
+       |    ${nn("\"gksType\"")} AS gks_type,
+       |    ${nn("\"result\"")} AS result,
+       |    ${nn("\"port\"")} AS port_s,
+       |    ${nn("\"ip\"")} AS ip,
+       |    ${nn("\"nationalityId\"")} AS nationality_id,
+       |    ${nn("\"timestamp\"")} AS ts_raw,
+       |    ${nn("\"transactionTime\"")} AS tt_raw,
+       |    ${nn("\"passageDuration\"")} AS pd_s,
+       |    ${nn("\"stadiumId\"")} AS stadium_id_s,
+       |    ${nn("\"transactionId\"")} AS transaction_id_s,
+       |    ${nn("\"isAccreditation\"")} AS is_accred_s,
+       |    ${nn("\"serialNumber\"")} AS serial_number
+       |  FROM r)
+       |SELECT id, idx,
+       |  try_cast(event_id_s AS INTEGER) AS event_id,
+       |  ${boolc("access_log")} AS access_log_flag,
+       |  ${boolc("is_accred_s")} AS is_accreditation,
+       |  gks_type, result,
+       |  try_cast(port_s AS INTEGER) AS port,
+       |  ip, nationality_id, serial_number,
+       |  try_cast(stadium_id_s AS INTEGER) AS stadium_id,
+       |  try_cast(transaction_id_s AS INTEGER) AS transaction_id,
+       |  printf('%.2f', try_cast(pd_s AS DECIMAL(10,2))::DOUBLE) AS passage_duration,
+       |  ${tsc("ts_raw")} AS ts_s,
+       |  ${tsc("tt_raw")} AS tt_s
+       |FROM u WHERE id IS NOT NULL ORDER BY id""".stripMargin
+  }
+
   /** ES-JSON source oracle: DuckDB read_json over the SAME deterministic
     * NDJSON fixture the Spark query reads, replicating the reference's
     * array unwrap (first element of a non-empty array — an empty array
@@ -299,21 +362,6 @@ object OracleSql {
       s"CASE WHEN json_type(try_cast(json_extract_string($c, '$$') AS JSON)) = 'ARRAY' " +
         s"THEN json_extract_string(try_cast(json_extract_string($c, '$$') AS JSON), '$$[0]') " +
         s"ELSE json_extract_string($c, '$$') END"
-    // nullNorm: ''/whitespace/'null' (any case) -> NULL, else trimmed
-    def nn(e: String) =
-      s"CASE WHEN trim($e) = '' OR lower(trim($e)) = 'null' THEN NULL ELSE trim($e) END"
-    def boolc(e: String) =
-      s"COALESCE(CASE WHEN lower($e) IN ('true','1') THEN true " +
-        s"WHEN lower($e) IN ('false','0') THEN false END, false)"
-    def tsc(e: String) =
-      s"""strftime(COALESCE(
-         |    try_strptime($e, '%Y-%m-%dT%H:%M:%S'),
-         |    try_strptime($e, '%Y-%m-%d %H:%M:%S'),
-         |    CASE WHEN try_cast($e AS BIGINT) IS NOT NULL THEN
-         |      CASE WHEN try_cast($e AS BIGINT) > 1000000000000
-         |           THEN epoch_ms(try_cast($e AS BIGINT))
-         |           ELSE epoch_ms(try_cast($e AS BIGINT) * 1000) END END
-         |  ), '%Y-%m-%d %H:%M:%S')""".stripMargin
     val cols = Seq("_id", "_index", "accessLog", "eventId", "gksType", "result",
       "port", "ip", "nationalityId", "timestamp", "transactionTime",
       "passageDuration", "stadiumId", "transactionId", "isAccreditation",
@@ -349,7 +397,7 @@ object OracleSql {
        |  ip, nationality_id, serial_number,
        |  try_cast(stadium_id_s AS INTEGER) AS stadium_id,
        |  try_cast(transaction_id_s AS INTEGER) AS transaction_id,
-       |  try_cast(pd_s AS DECIMAL(10,2)) AS passage_duration,
+       |  printf('%.2f', try_cast(pd_s AS DECIMAL(10,2))::DOUBLE) AS passage_duration,
        |  ${tsc("ts_raw")} AS ts_s,
        |  ${tsc("tt_raw")} AS tt_s
        |FROM u WHERE id IS NOT NULL ORDER BY id""".stripMargin
@@ -571,6 +619,7 @@ object OracleSql {
     "q_warnings_top"      -> qWarningsTop,
     "q_json_coercion"     -> qJsonCoercion,
     "es_json_coercion"    -> esJsonCoercion,
+    "csv_coercion"        -> csvCoercion,
     "q_sample_head"       -> qSampleHead,
     "ft_postings"         -> ftPostings,
     "ft_doclen"           -> ftDoclen,

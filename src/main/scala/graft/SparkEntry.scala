@@ -308,33 +308,64 @@ object SparkEntry {
       .map("%02x".format(_)).mkString.take(12)
   }
 
-  private def ensureIndexOver(s: SparkSession, key: String,
+  private def cacheBase: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+
+  /** Index cache path: `<srcTag>` names the SOURCE (dir + salt — stable
+    * across regenerations), `<key>` its CONTENT. The split exists so a
+    * regenerated corpus can evict its predecessor's directory: the
+    * cache lives on tmpfs (RAM), and without eviction every
+    * bench/verify cycle over a rewritten corpus would leak a full index
+    * until the VM is squeezed. */
+  private def indexPath(dir: String, salt: String): String = {
+    val srcTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$salt".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"$cacheBase/graft_index_${srcTag}_${corpusKey(dir, salt)}"
+  }
+
+  private def ensureIndexOver(s: SparkSession, idx: String,
                               docs: => DataFrame, contentCol: Column): String = {
-    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-    val idx = s"$base/graft_index_$key"
-    if (!SegmentBuilder.ingestDone(idx, IndexCfg))
+    if (!SegmentBuilder.ingestDone(idx, IndexCfg)) {
+      // evict stale content-keys of the SAME source before building the
+      // new one (same srcTag prefix, different suffix)
+      val f = new java.io.File(idx)
+      val prefix = f.getName.substring(0, f.getName.lastIndexOf('_') + 1)
+      Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.getName.startsWith(prefix) && d.getName != f.getName)
+        .foreach(d => new scala.reflect.io.Directory(d).deleteRecursively())
       SegmentBuilder.ingest(s, docs, col("doc_id"), contentCol, idx, IndexCfg)
+    }
     SegmentBuilder.buildAll(s, idx, IndexCfg)
     idx
   }
 
   def ensureIndex(s: SparkSession, dir: String): String =
-    ensureIndexOver(s, corpusKey(dir, "docs"),
+    ensureIndexOver(s, indexPath(dir, "docs"),
       tbl(s, dir, "documents"), col("text"))
 
   /** Segment index over the input_hint code corpus (synthesized shape,
     * surrogate doc ids) — the full north-star path on the exact input
     * table: Iceberg-shaped source -> identity -> salted postings ->
     * compressed segments -> WAND. */
-  def ensureCodeIndex(s: SparkSession, dir: String): String =
+  def ensureCodeIndex(s: SparkSession, dir: String): String = {
     // the salt carries a SYNTHESIS version: the indexed corpus is a
     // function of CodeCorpus.synthesize, not just the source file, so
     // a derivation change must invalidate the cache — bump on any
-    // synthesize()/docKey change
-    ensureIndexOver(s, corpusKey(dir, "code-v1"),
+    // synthesize()/docKey change (v2: the collision gate now rides the
+    // build, so a pre-gate cache must not be trusted)
+    val idx = indexPath(dir, "code-v2")
+    // The surrogate-collision gate runs ONCE per corpus key — at index
+    // BUILD time, where its corpus-wide distinct-count rides the
+    // one-time ingest. Every ranked/indexed query over this corpus is
+    // therefore gate-protected (a collision fails the build loudly
+    // instead of silently merging two documents' postings), while warm
+    // serving never pays a corpus aggregation.
+    val gated = !SegmentBuilder.ingestDone(idx, IndexCfg)
+    ensureIndexOver(s, idx,
       graft.sources.CodeCorpus.withDocIds(
-        graft.sources.CodeCorpus.synthesize(s, dir), failOnCollision = false),
+        graft.sources.CodeCorpus.synthesize(s, dir), failOnCollision = gated),
       col("content"))
+  }
 
   /** Block-max WAND over the compressed segment index — must be
     * rank-identical to the declarative ft_bm25_topk (same SQL oracle). */
@@ -496,7 +527,40 @@ object SparkEntry {
         col("event_id"), col("access_log_flag"), col("is_accreditation"),
         col("gks_type"), col("result"), col("port"), col("ip"),
         col("nationality_id"), col("serial_number"), col("stadium_id"),
-        col("transaction_id"), col("passage_duration"),
+        col("transaction_id"),
+        // string-rendered (both sides): this is the suite's only raw
+        // DECIMAL column and the driver's typed-value hasher canonicalizes
+        // engine decimals differently (r03: rows+schema matched, hash
+        // didn't) — the same reason every float in the suite renders
+        // through format_string. isNotNull guard: format_string(NULL)
+        // prints the STRING "null" while the oracle's printf propagates
+        // SQL NULL.
+        when(col("passage_duration").isNotNull,
+          format_string("%.2f", col("passage_duration").cast("double"))).as("passage_duration"),
+        date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        date_format(col("transaction_time"), "yyyy-MM-dd HH:mm:ss").as("tt_s"))
+      .orderBy("id")
+  }
+
+  /** S1/S2/P1-P3/T6 source parity for the reference's PRIMARY source
+    * (Services/CSVService.cs:247-331): header-driven CSV with RFC-4180
+    * quoting through the shared lenient-coercion battery and the
+    * error-budget circuit breaker (the corrupt over-length line and the
+    * missing-_id row are dropped on both sides). Oracle: DuckDB
+    * read_csv over the same deterministic fixture with the identical
+    * nullNorm + try_cast chain. */
+  private def qCsvCoercion(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.accesslog.CsvFixture.ensure()
+    graft.accesslog.AccessLog.readCsvWithErrorBudget(s, path)
+      .select(col("elasticsearch_id").as("id"),
+        col("elasticsearch_index").as("idx"),
+        col("event_id"), col("access_log_flag"), col("is_accreditation"),
+        col("gks_type"), col("result"), col("port"), col("ip"),
+        col("nationality_id"), col("serial_number"), col("stadium_id"),
+        col("transaction_id"),
+        // string-rendered DECIMAL, same reason as es_json_coercion
+        when(col("passage_duration").isNotNull,
+          format_string("%.2f", col("passage_duration").cast("double"))).as("passage_duration"),
         date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         date_format(col("transaction_time"), "yyyy-MM-dd HH:mm:ss").as("tt_s"))
       .orderBy("id")
@@ -702,6 +766,7 @@ object SparkEntry {
     "q_warnings_top"      -> (qWarningsTop _),
     "q_json_coercion"     -> (qJsonCoercion _),
     "es_json_coercion"    -> (qEsJsonCoercion _),
+    "csv_coercion"        -> (qCsvCoercion _),
     "q_sample_head"       -> (qSampleHead _),
     "ft_postings"         -> (qFtPostings _),
     "ft_doclen"           -> (qFtDoclen _),

@@ -142,16 +142,33 @@ object AccessLog {
     * primitives-as-string so the SAME lenient coercion battery used for
     * CSV applies (field names match case-insensitively through
     * ColumnMappings; unknown fields tolerated and dropped; the only
-    * row-fatal rule is a missing _id). */
-  def readEsJson(spark: SparkSession, path: String): DataFrame = {
+    * row-fatal rule is a missing _id).
+    *
+    * @param fields caller-supplied key set (the ES-mapping analogue —
+    *   the reference reads `_source` fields it KNOWS from the mapping,
+    *   never inferring; ElasticSearchService.cs:267-278). When
+    *   non-empty, the inference pre-pass is skipped entirely and the
+    *   read is ONE scan of the source — the only shape that holds at
+    *   100 TB, where the default's inference pass doubles ingest I/O.
+    * @param inferSamplingRatio bound on the inference pre-pass when
+    *   `fields` is empty: fraction of documents PARSED for the key set
+    *   (Spark's JSON samplingRatio — partitions are still listed, but
+    *   parse CPU drops proportionally). Default 1.0 = exact key set,
+    *   two full passes; exploration-scale only. A key that appears in
+    *   no sampled document reads as null for those docs — same
+    *   keep-first semantics as a casing-dedup miss. */
+  def readEsJson(spark: SparkSession, path: String, fields: Seq[String] = Nil,
+                 inferSamplingRatio: Double = 1.0): DataFrame = {
     // Two-step read. 1) Infer the key set under scoped caseSensitive=true
     // (keys differing only in case across documents — raw _source has no
     // single header row — would otherwise reject the read outright).
     val csKey = "spark.sql.caseSensitive"
     val csOld = spark.conf.get(csKey)
-    val inferredNames = try {
+    val inferredNames = if (fields.nonEmpty) fields else try {
       spark.conf.set(csKey, "true")
-      spark.read.option("mode", "PERMISSIVE").json(path).schema.fieldNames.toSeq
+      spark.read.option("mode", "PERMISSIVE")
+        .option("samplingRatio", inferSamplingRatio)
+        .json(path).schema.fieldNames.toSeq
     } finally spark.conf.set(csKey, csOld)
     // 2) Re-read with an explicit all-string schema keeping the FIRST
     // seen casing of each key (JSON field matching is case-sensitive at

@@ -174,6 +174,7 @@ object SegmentBuilder {
       if (stagingFiles == null) 0L else stagingFiles.map(_.length()).sum
     System.err.println(f"[ingest] staging write: ${(System.nanoTime() - tStage0) / 1e9}%.1fs, " +
       s"$stagingBytes bytes, ${if (stagingFiles == null) 0 else stagingFiles.count(_.getName.endsWith(".parquet"))} files")
+    graft.metrics.Progress.emit("ingest", "phase", 1, 2, tStage0)
     // The derive passes re-read staging. Parquet read-task count is
     // governed by spark.sql.files.maxPartitionBytes (default 128 MB):
     // a few-GB staging table packs into ~a dozen read tasks, which
@@ -225,6 +226,7 @@ object SegmentBuilder {
     val tDerive = System.nanoTime()
     Await.result(Future.sequence(Seq(pass1, pass2)), Duration.Inf)
     System.err.println(f"[ingest] derive passes: ${(System.nanoTime() - tDerive) / 1e9}%.1fs")
+    graft.metrics.Progress.emit("ingest", "phase", 2, 2, tStage0)
     new scala.reflect.io.Directory(new java.io.File(staging)).deleteRecursively()
     // Atomic ingest-complete marker, written only after BOTH passes
     // land: a crash between stats and postings must not let a resume
@@ -261,29 +263,26 @@ object SegmentBuilder {
     *
     * Idempotency/crash contract (plain parquet has no ACID
     * multi-table commit): docs whose doc_id is ALREADY in docmap are
-    * filtered out up front — via a docmap scan probed by the
-    * BROADCAST batch (left_semi), never a docmap shuffle — so a
-    * replayed micro-batch (Spark foreachBatch is at-least-once) is a
-    * no-op once the batch fully landed. Postings write FIRST, docmap
-    * last: the one remaining window (crash between the two writes,
-    * then replay) re-appends that batch's postings, which
-    * [[compactShard]] repairs by (term, doc_id) dedup — postings are
-    * unique on that pair by construction, so dedup only ever removes
-    * replayed rows. */
+    * filtered out up front — fully join-shaped (see [[freshBatch]]):
+    * the docmap scan is probed by the BROADCAST batch (left_semi,
+    * never a docmap shuffle) and the batch anti-joins the resulting
+    * present-set (bounded by the batch, never materialized on the
+    * driver) — so a replayed micro-batch (Spark foreachBatch is
+    * at-least-once) is a no-op once the batch fully landed, and a
+    * 100M-doc CLI append never builds a driver-side id set. Postings
+    * write FIRST, docmap last: the one remaining window (crash
+    * between the two writes, then replay) re-appends that batch's
+    * postings, which [[compactShard]] repairs by (term, doc_id) dedup
+    * — postings are unique on that pair by construction, so dedup
+    * only ever removes replayed rows. */
   def appendDocs(spark: SparkSession, docs: DataFrame, idCol: Column,
                  contentCol: Column, indexDir: String,
                  cfg: EngineConfig = EngineConfig.default): Unit = {
     require(ingestDone(indexDir, cfg),
       s"$indexDir is not a completed ingest under this layout/config — " +
         "appends require a full ingest first")
-    import spark.implicits._
-    val ids = docs.select(idCol.cast("long").as("doc_id"))
-    val already = spark.read.parquet(s"$indexDir/docmap").select("doc_id")
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .distinct().as[Long].collect().toSet
-    val fresh = if (already.isEmpty) docs
-                else docs.filter(!idCol.cast("long").isInCollection(already))
-    if (already.nonEmpty && fresh.isEmpty) return // full replay: no-op
+    val fresh = freshBatch(spark, docs, idCol, indexDir)
+    if (fresh.isEmpty) return // empty batch or full replay: no-op
     // same defensive spread as ingest: tokenization is the dominant
     // compute and must never be serialized by a one-fat-file input
     val spread =
@@ -310,6 +309,24 @@ object SegmentBuilder {
     } finally { staged.unpersist(); () }
   }
 
+  /** The batch rows NOT yet in docmap — [[appendDocs]]'s replay filter,
+    * join-shaped end to end. Two bounded probes, no docmap shuffle and
+    * no driver-side id set: (1) docmap scanned once with the BROADCAST
+    * batch ids as a left_semi probe yields the present-set (⊆ batch by
+    * construction, so it is broadcastable whenever the batch itself
+    * was); (2) the batch anti-joins that present-set, again broadcast.
+    * The present-set materializes eagerly (localCheckpoint) so the
+    * isEmpty probe and the two append writes don't each rescan docmap. */
+  private[index] def freshBatch(spark: SparkSession, docs: DataFrame, idCol: Column,
+                                indexDir: String): DataFrame = {
+    val ids = docs.select(idCol.cast("long").as("__present_id")).distinct()
+    val present = spark.read.parquet(s"$indexDir/docmap")
+      .select(col("doc_id").as("__present_id"))
+      .join(broadcast(ids), Seq("__present_id"), "left_semi")
+      .localCheckpoint(eager = true)
+    docs.join(broadcast(present), idCol.cast("long") === col("__present_id"), "left_anti")
+  }
+
   /** Target output-file size for [[compactShard]] (pre-compression
     * input bytes per file; parquet re-encodes smaller). */
   val CompactTargetBytes: Long = 64L << 20
@@ -324,10 +341,14 @@ object SegmentBuilder {
     * [[appendDocs]] batch (see its crash contract) and a no-op
     * otherwise. Returns true iff the partition was rewritten.
     *
-    * An already-compact partition (file count <= target) is SKIPPED —
-    * a rewrite renames every file, which would invalidate the shard's
-    * lineage and force a pointless segment rebuild; likewise a shard
-    * with no partition (no term hashed there) is a no-op, so
+    * An already-compact partition (file count <= target) is skipped
+    * ONLY after a cheap duplicate check (count vs countDistinct on a
+    * narrow two-column scan, multi-file partitions only — replay dups
+    * always span >= 2 files): a rewrite renames every file, which
+    * would invalidate the shard's lineage and force a pointless
+    * segment rebuild, but the crash REPAIR must never silently no-op
+    * just because the byte budget happens to allow the file count.
+    * A shard with no partition (no term hashed there) is a no-op, so
     * compact-all loops pass over small corpora safely.
     *
     * Crash safety (single-writer, like the build): the rewrite lands
@@ -338,7 +359,8 @@ object SegmentBuilder {
     * the trash delete) discards the trash — live already holds the
     * compacted data; a leftover tmp is discarded. */
   def compactShard(spark: SparkSession, indexDir: String, shard: Int,
-                   cfg: EngineConfig = EngineConfig.default): Boolean = {
+                   cfg: EngineConfig = EngineConfig.default,
+                   targetBytes: Long = CompactTargetBytes): Boolean = {
     val live = Paths.get(s"$indexDir/postings/shard=$shard")
     val tmp = Paths.get(s"$indexDir/_compact_tmp_shard=$shard")
     val trash = Paths.get(s"$indexDir/_compact_trash_shard=$shard")
@@ -353,11 +375,28 @@ object SegmentBuilder {
     val dataFiles = Option(live.toFile.listFiles())
       .map(_.filter(_.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
     val bytes = dataFiles.map(_.length()).sum
-    val nFiles = math.max(1L, (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
-    if (dataFiles.length <= nFiles) return false // already compact: don't churn lineage
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (dataFiles.length <= nFiles) {
+      // Already compact BY FILE COUNT — but compaction is also the
+      // designated crash repair for a replayed appendDocs batch, and
+      // that repair must not silently no-op just because the byte
+      // budget happens to allow the file count (duplicated postings
+      // double df and per-doc score contributions, and buildAll would
+      // bake them into segments undetected). Replay dups can only span
+      // >= 2 files (a replay lands as a NEW append file), so a single
+      // file needs no check; otherwise detect cheaply (narrow two-column
+      // scan) and rewrite exactly when duplicates exist.
+      if (dataFiles.length <= 1) return false
+      val r = spark.read.parquet(live.toString)
+        .agg(count(lit(1)), countDistinct(col("term"), col("doc_id"))).head()
+      if (r.getLong(0) == r.getLong(1)) return false // clean: don't churn lineage
+    }
     spark.read.parquet(live.toString)
       .dropDuplicates("term", "doc_id")
-      .repartition(nFiles)
+      // never MORE files than exist: a dup repair of an already-compact
+      // partition keeps its file count instead of exploding to the
+      // byte-derived target
+      .repartition(math.min(nFiles, dataFiles.length))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     Files.move(live, trash)
     Files.move(tmp, live)
@@ -587,9 +626,15 @@ object SegmentBuilder {
                concurrency: Int = 1): Seq[ShardManifest] = {
     val todo = (0 until cfg.shards).filterNot(s =>
       manifestDone(indexDir, s, lineage(spark, indexDir, cfg, s)))
+    // per-shard progress + completed-average ETA (A6: the reference's
+    // per-batch events), emitted at each manifest commit
+    val t0 = System.nanoTime()
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
     def runOne(shard: Int): ShardManifest = {
       val m = buildShard(spark, indexDir, shard, cfg)
       writeManifest(indexDir, m)
+      graft.metrics.Progress.emit("build", "shard",
+        done.incrementAndGet(), todo.size, t0)
       m
     }
     if (concurrency <= 1 || todo.size <= 1) todo.map(runOne)

@@ -51,3 +51,32 @@ object Metrics {
     m
   }
 }
+
+/** Incremental progress + ETA — the reference's per-batch progress
+  * events and completed-average ETA model
+  * (/root/reference/Services/MigrationService.cs:524-533,657-667)
+  * re-targeted at long distributed builds: after each completed unit
+  * (ingest phase, segment shard) the build reports completed/total,
+  * elapsed, and eta = remaining units x avg completed-unit time — so a
+  * multi-hour 100 TB build reports continuously instead of going dark
+  * until a phase ends. Pure functions so the line shape is spec-able;
+  * emission goes to stderr (stdout stays reserved for the one-line
+  * JSON results the CLI contracts promise). */
+object Progress {
+  /** remaining x avg(completed); NaN until the first unit lands. */
+  def etaSecs(completed: Int, total: Int, elapsedSecs: Double): Double =
+    if (completed <= 0) Double.NaN
+    else (total - completed) * (elapsedSecs / completed)
+
+  def line(op: String, unit: String, completed: Int, total: Int,
+           elapsedSecs: Double): String = {
+    val eta = etaSecs(completed, total, elapsedSecs)
+    val etaS = if (eta.isNaN) "?" else f"$eta%.1fs"
+    f"[progress] $op $unit $completed/$total elapsed=$elapsedSecs%.1fs eta=$etaS"
+  }
+
+  def emit(op: String, unit: String, completed: Int, total: Int,
+           startNanos: Long): Unit =
+    System.err.println(line(op, unit, completed, total,
+      (System.nanoTime() - startNanos) / 1e9))
+}

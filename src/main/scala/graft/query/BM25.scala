@@ -96,7 +96,7 @@ object BM25 {
       return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
     val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
     phraseTopKOver(Postings.buildPositional(docs, idCol, contentCol),
-      n, avgdl, analyzed, cfg, slop)
+      n, avgdl, analyzed, cfg, slop, persistInput = true)
   }
 
   /** Phrase top-k served from a PERSISTED index ([[graft.index.SegmentBuilder]]
@@ -158,32 +158,103 @@ object BM25 {
   }
 
   /** Shared phrase core over a positional postings frame (full-corpus
-    * build in [[phraseTopK]]; pruned index read in [[phraseTopKIndexed]]).
-    * The frame is persisted for the call — candidates, df and scoring
-    * all read it — and released before returning (the <= queries x topK
-    * result materializes eagerly via localCheckpoint). */
+    * build in [[phraseTopK]], which persists it; pruned index read in
+    * [[phraseTopKIndexed]], which doesn't — rescanning a term-pruned
+    * parquet read is cheaper than block-manager churn per batch).
+    *
+    * Serving shape (one aggregation, not a job chain): per-term df is
+    * collected to the driver first (bounded by the QUERY's distinct
+    * terms — tiny by construction), then ONE pass joins the broadcast
+    * (qid, term, off, df) table against the positional postings and a
+    * single groupBy(qid, doc) computes the candidate decision (all
+    * offsets present + [[OrderedSpanMatchExpr]] over the gathered
+    * position lists) AND the BM25 score (per-distinct-term weights
+    * folded in ascending term order — bit-equal to the declarative
+    * path) together. The r3 design chained candidates agg -> df agg ->
+    * semi-join -> score agg -> checkpoint; at serving time those four
+    * extra fixed-cost jobs were the latency, not the corpus work. */
   private def phraseTopKOver(posPostIn: DataFrame, n: Long, avgdl: Double,
                              analyzed: Seq[(Int, Seq[String])],
-                             cfg: EngineConfig, slop: Int): DataFrame = {
+                             cfg: EngineConfig, slop: Int,
+                             persistInput: Boolean = false): DataFrame = {
     val spark = posPostIn.sparkSession
     import spark.implicits._
-    val posPost = posPostIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posPost =
+      if (persistInput)
+        posPostIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else posPostIn
     try {
-      val post = posPost.drop("positions")
-      val candidates = phraseCandidatesFrom(posPost, analyzed, slop)
-      val qterms = analyzed
-        .flatMap { case (qid, ts) =>
-          val distinctSorted = ts.distinct.sorted
-          distinctSorted.map(t => (qid, t, distinctSorted.size))
-        }
-        .toDF("qid", "term", "n_terms")
-      val qdf = qterms.join(Postings.docFreq(post), "term")
-      val weighted = post.join(broadcast(qdf), "term")
-        .join(candidates, Seq("qid", "doc_id"), "left_semi")
-        .withColumn("w", weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
-      scoreAndRank(weighted, cfg.topK).localCheckpoint(eager = true)
-    } finally { posPost.unpersist(); () }
+      val dfMap = posPost.groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ranked = phraseRankOver(posPost, n, avgdl, analyzed, cfg, slop, dfMap)
+      if (persistInput) ranked.localCheckpoint(eager = true) else ranked
+    } finally { if (persistInput) { posPost.unpersist() }; () }
+  }
+
+  /** The one-aggregation phrase pass given resolved per-term df (see
+    * [[phraseTopKOver]] for the shape rationale). */
+  private[query] def phraseRankOver(posPost: DataFrame, n: Long, avgdl: Double,
+                                    analyzed: Seq[(Int, Seq[String])],
+                                    cfg: EngineConfig, slop: Int,
+                                    dfMap: Map[String, Long]): DataFrame = {
+    val spark = posPost.sparkSession
+    import spark.implicits._
+    // score_me marks the FIRST offset of each distinct term: scoring
+    // sums one weight per distinct term even when the phrase repeats a
+    // term at several offsets
+    val q = analyzed.flatMap { case (qid, ts) =>
+      val seen = scala.collection.mutable.Set[String]()
+      ts.zipWithIndex.map { case (t, off) =>
+        (qid, t, off, ts.length, seen.add(t), dfMap.getOrElse(t, 0L))
+      }
+    }.toDF("qid", "term", "off", "m", "score_me", "df")
+    val scored = posPost.join(broadcast(q), "term")
+      .withColumn("w",
+        weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("got"), first(col("m")).as("m"),
+        sort_array(collect_list(struct(col("off"), col("positions")))).as("lists"),
+        aggregate(
+          sort_array(collect_list(when(col("score_me"),
+            struct(col("term"), col("w"))))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+      .filter(col("got") === col("m"))
+      .filter(OrderedSpanMatchExpr.matches(
+        transform(col("lists"), x => x.getField("positions")), lit(slop)))
+    rankTopK(scored, cfg.topK)
+  }
+
+  /** Reusable phrase-serving handle — the match_phrase twin of
+    * [[Wand.Handle]] (the documented serving measurement condition:
+    * corpus stats read once, per-term metadata cached across batches).
+    * df is computed from the LIVE positional postings the first time a
+    * term is seen (one tiny pruned aggregation, <= query terms rows) and
+    * cached, so a warm batch over known terms is ONE aggregation job.
+    * Result contract identical to [[phraseTopKIndexed]]. */
+  final class PhraseHandle(spark: SparkSession, indexDir: String,
+                           cfg: EngineConfig = EngineConfig.default) {
+    import spark.implicits._
+    private val (n, avgdl) = graft.index.SegmentBuilder.readStats(spark, indexDir)
+    private val dfCache = scala.collection.concurrent.TrieMap[String, Long]()
+
+    def topK(phrases: Seq[(Int, String)], slop: Int = 0): DataFrame = {
+      val analyzed = phrases
+        .map { case (qid, text) => (qid, CodeTokenizer.tokenize(text).toSeq) }
+        .filter(_._2.nonEmpty)
+      if (analyzed.isEmpty)
+        return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
+      val terms = analyzed.flatMap(_._2).distinct
+      val missing = terms.filterNot(dfCache.contains)
+      if (missing.nonEmpty) {
+        val got = prunedPositionalPostings(spark, indexDir, missing)
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        missing.foreach(t => dfCache.put(t, got.getOrElse(t, 0L)))
+      }
+      phraseRankOver(prunedPositionalPostings(spark, indexDir, terms),
+        n, avgdl, analyzed, cfg, slop,
+        terms.map(t => t -> dfCache(t)).toMap)
+    }
   }
 
   /** Phrase candidate sets from positional postings, ALL phrases in one
@@ -244,11 +315,17 @@ object BM25 {
     val scores =
       if (conjunctive) grouped.filter(col("matched") === col("n_terms"))
       else grouped
+    rankTopK(scores, k)
+  }
+
+  /** Rank (qid, doc_id, score) rows: bounded per-qid top-k aggregation
+    * (map-side partial heaps, k rows per partition per qid on the
+    * shuffle — never a per-qid window), rank ties broken doc_id asc. */
+  def rankTopK(scores: DataFrame, k: Int): DataFrame =
     scores.groupBy("qid")
       .agg(TopKAgg.topK(k)(col("score"), col("doc_id")).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sd")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
         col("sd.doc_id").as("doc_id"), col("sd.score").as("score"))
       .orderBy("qid", "rank")
-  }
 }

@@ -24,12 +24,31 @@ class BenchSpec extends SparkSuite {
     assert(failures.toMap.apply("broken").contains("boom"))
   }
 
-  test("serving qps floor: below-floor fails, at/above passes, 0 disables, skip-mode exempt") {
-    assert(Bench.qpsFloorViolation(4.2, Bench.DefaultQpsFloor).isDefined)
-    assert(Bench.qpsFloorViolation(26.8, Bench.DefaultQpsFloor).isEmpty)
-    assert(Bench.qpsFloorViolation(10.0, Bench.DefaultQpsFloor).isEmpty)
-    assert(Bench.qpsFloorViolation(4.2, 0.0).isEmpty, "floor 0 disables the gate")
-    assert(Bench.qpsFloorViolation(-1.0, Bench.DefaultQpsFloor).isEmpty,
+  test("serving qps floors: below-floor fails, at/above passes, 0 disables, skip-mode exempt") {
+    def wand(q: Double, f: Double) = Bench.qpsFloorViolation("wand_queries_per_sec", q, f)
+    assert(wand(4.2, Bench.DefaultQpsFloor).isDefined)
+    assert(wand(26.8, Bench.DefaultQpsFloor).isEmpty)
+    assert(wand(Bench.DefaultQpsFloor, Bench.DefaultQpsFloor).isEmpty)
+    assert(wand(4.2, 0.0).isEmpty, "floor 0 disables the gate")
+    assert(wand(-1.0, Bench.DefaultQpsFloor).isEmpty,
       "scaling-only mode (qps sentinel -1) is exempt")
+    // the PHRASE floor is armed the same way: a phrase-serving
+    // regression (r03's canonical 1.0 qps) exits 1 instead of sailing
+    // through the harness
+    def phrase(q: Double, f: Double) =
+      Bench.qpsFloorViolation("phrase_queries_per_sec", q, f)
+    assert(phrase(1.0, Bench.DefaultPhraseQpsFloor).isDefined,
+      "r03's recorded phrase regression must trip the floor")
+    assert(phrase(4.7, Bench.DefaultPhraseQpsFloor).isEmpty)
+    assert(phrase(1.0, Bench.DefaultPhraseQpsFloor).get
+      .contains("phrase_queries_per_sec"), "violation names its metric")
+  }
+
+  test("default floors arm only under the calibrated condition (sf0.1 + tmpfs)") {
+    val tmpfs = new java.io.File("/dev/shm").isDirectory
+    assert(Bench.floorsArmed("/root/testdata/sf0.1") === tmpfs)
+    assert(!Bench.floorsArmed("/root/testdata/sf0.01"),
+      "an uncalibrated corpus must not arm the default floors")
+    assert(!Bench.floorsArmed("/some/other/corpus"))
   }
 }

@@ -158,6 +158,34 @@ class AccessLogSpec extends SparkSuite {
     assert(j3errs === Set("image_ext"))
   }
 
+  test("CSV fixture: corrupt over-length line and missing-_id row dropped, rest coerced") {
+    val df = AccessLog.readCsvWithErrorBudget(spark, CsvFixture.ensure())
+    assert(df.count() === CsvFixture.Rows)
+    val r0 = df.orderBy("elasticsearch_id").head()
+    assert(r0.getAs[String]("elasticsearch_id") === "csv0000")
+    assert(r0.getAs[Boolean]("access_log_flag") === true)
+    assert(r0.getAs[Int]("event_id") === 1)
+  }
+
+  test("ES read with caller-supplied fields: one scan, same result as inference") {
+    val path = EsFixture.ensure()
+    val fields = Seq("_id", "_index", "accessLog", "eventId", "gksType",
+      "result", "port", "ip", "nationalityId", "timestamp", "transactionTime",
+      "passageDuration", "stadiumId", "transactionId", "isAccreditation",
+      "serialNumber")
+    val inferred = AccessLog.readEsJson(spark, path)
+      .orderBy("elasticsearch_id").drop("created_at")
+    val explicit = AccessLog.readEsJson(spark, path, fields = fields)
+      .orderBy("elasticsearch_id").drop("created_at")
+    assert(explicit.collect().toSeq === inferred.collect().toSeq,
+      "explicit ES-mapping fields must reproduce the inferred read exactly")
+    // a bounded inference ratio still reads every fixture key (they all
+    // appear in the first documents)
+    val sampled = AccessLog.readEsJson(spark, path, inferSamplingRatio = 0.2)
+      .orderBy("elasticsearch_id").drop("created_at")
+    assert(sampled.collect().toSeq === inferred.collect().toSeq)
+  }
+
   test("ES array unwrap parity: first element, empty -> null, numbers, non-array kept") {
     val f = Files.createTempFile("accesslog_unwrap_", ".ndjson")
     Files.writeString(f, Seq(

@@ -125,6 +125,44 @@ class MainSpec extends SparkSuite {
     } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("progress events: completed-average ETA model and per-shard emission (A6)") {
+    import graft.metrics.Progress
+    // ETA = remaining x avg completed (MigrationService.cs:657-667)
+    assert(Progress.etaSecs(2, 4, 10.0) === 10.0)
+    assert(Progress.etaSecs(4, 4, 10.0) === 0.0)
+    assert(Progress.etaSecs(0, 4, 10.0).isNaN, "no ETA before the first unit")
+    assert(Progress.line("build", "shard", 2, 4, 10.0) ===
+      "[progress] build shard 2/4 elapsed=10.0s eta=10.0s")
+    assert(Progress.line("ingest", "phase", 0, 2, 1.5) ===
+      "[progress] ingest phase 0/2 elapsed=1.5s eta=?")
+    // a real build emits one [progress] line per ingest phase and per
+    // shard manifest commit
+    import org.apache.spark.sql.functions.col
+    val cfg = graft.config.EngineConfig.default.copy(
+      shards = 2, buildPartitions = 2, saltTargetPostings = 128)
+    val dir = java.nio.file.Files.createTempDirectory("graft_prog_").toString
+    val err = new java.io.ByteArrayOutputStream()
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      Console.withErr(new java.io.PrintStream(err)) {
+        val old = System.err
+        System.setErr(new java.io.PrintStream(err))
+        try {
+          graft.index.SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, cfg)
+          graft.index.SegmentBuilder.buildAll(spark, dir, cfg)
+        } finally System.setErr(old)
+      }
+      val lines = err.toString.linesIterator.filter(_.startsWith("[progress]")).toSeq
+      assert(lines.exists(_.startsWith("[progress] ingest phase 1/2")), lines.mkString("\n"))
+      assert(lines.exists(_.startsWith("[progress] ingest phase 2/2")), lines.mkString("\n"))
+      assert(lines.exists(_.startsWith("[progress] build shard 1/2")), lines.mkString("\n"))
+      assert(lines.exists(_.startsWith("[progress] build shard 2/2")), lines.mkString("\n"))
+      assert(lines.forall(_.matches(
+        """\[progress\] \S+ \S+ \d+/\d+ elapsed=\d+\.\ds eta=(\d+\.\ds|\?)""")),
+        lines.mkString("\n"))
+    } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("dry-run analyzer reports corpus stats and the go/no-go gate") {
     val r = Main.analyze(spark, "/root/testdata/sf0.001/documents.parquet").head()
     assert(r.getAs[Long]("total_docs") === 500)
