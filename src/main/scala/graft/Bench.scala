@@ -46,7 +46,9 @@ object Bench {
     * without /dev/shm the numbers mean something else entirely, and a
     * spurious exit-1 would train operators to export floor=0 globally. */
   def floorsArmed(sfDir: String): Boolean =
-    sfDir.endsWith("sf0.1") && new java.io.File("/dev/shm").isDirectory
+    // normalized basename, not a raw suffix match: a trailing slash in
+    // the env var must not silently disarm the floors
+    new java.io.File(sfDir).getName == "sf0.1" && TmpFs.available
 
   def qpsFloorViolation(metric: String, qps: Double, floor: Double): Option[String] =
     if (floor > 0 && qps >= 0 && qps < floor)
@@ -79,8 +81,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // shuffle/spill on tmpfs: measure the engine, not /dev/vda
-    if (new java.io.File("/dev/shm").isDirectory)
-      b.config("spark.local.dir", "/dev/shm/graft-spark-local")
+    if (TmpFs.available)
+      b.config("spark.local.dir", s"${TmpFs.base}/graft-spark-local")
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -111,9 +113,7 @@ object Bench {
     val docs = benchDocs(spark, sfDir, replicas)
     val n = docs.count()
     // tmpfs when available: the bench measures the engine, not /dev/vda
-    val tmpBase = if (new java.io.File("/dev/shm").isDirectory)
-      java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
-    val dir = Files.createTempDirectory(tmpBase, "graft_bench_idx_").toString
+    val dir = Files.createTempDirectory(TmpFs.basePath, "graft_bench_idx_").toString
     val t0 = System.nanoTime()
     SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, cfg)
     SegmentBuilder.buildAll(spark, dir, cfg, concurrency = 4)
@@ -164,16 +164,18 @@ object Bench {
   private def lifecycleRun(spark: SparkSession, sfDir: String, replicas: Int)
       : Seq[(String, Double)] = {
     val cfg = SparkEntry.IndexCfg.copy(buildPartitions = 32)
-    val tmpBase = if (new java.io.File("/dev/shm").isDirectory)
-      java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
-    val dir = Files.createTempDirectory(tmpBase, "graft_bench_lc_").toString
+    val dir = Files.createTempDirectory(TmpFs.basePath, "graft_bench_lc_").toString
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     try {
       val base = benchDocs(spark, sfDir, replicas)
+      // batch ids offset ABOVE the base corpus's id space (base ids are
+      // < replicas * 1e7 + 1e7): a fixed offset would collide with base
+      // replicas past it, and appendDocs would silently no-op the
+      // "append" as a replay, timing nothing
       val batch = benchDocs(spark, sfDir, math.max(1, replicas / 20))
-        .withColumn("doc_id", col("doc_id") + 900000000L)
+        .withColumn("doc_id", col("doc_id") + lit((replicas.toLong + 1) * 10000000L))
       val tIngest = timed {
         SegmentBuilder.ingest(spark, base, col("doc_id"), col("text"), dir, cfg)
         SegmentBuilder.buildAll(spark, dir, cfg, concurrency = 4)
@@ -275,7 +277,7 @@ object Bench {
     val scaleN = sys.env.getOrElse("GRAFT_SCALE_N", "2").toInt
     val scaleReplicas = sys.env.getOrElse("GRAFT_SCALE_REPLICAS",
       (replicas * 2).toString).toInt
-    val scalePairs = sys.env.getOrElse("GRAFT_SCALE_SAMPLES", "3").toInt
+    val scalePairs = math.max(1, sys.env.getOrElse("GRAFT_SCALE_SAMPLES", "3").toInt)
     val (nDocs, pairTimes) = scalingPairs(scaleN, sfDir, scaleReplicas, scalePairs)
     val s2best = pairTimes.map(_._1).min
     val s8best = pairTimes.map(_._2).min

@@ -308,9 +308,6 @@ object SparkEntry {
       .map("%02x".format(_)).mkString.take(12)
   }
 
-  private def cacheBase: String =
-    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-
   /** Index cache path: `<srcTag>` names the SOURCE (dir + salt — stable
     * across regenerations), `<key>` its CONTENT. The split exists so a
     * regenerated corpus can evict its predecessor's directory: the
@@ -320,7 +317,7 @@ object SparkEntry {
   private def indexPath(dir: String, salt: String): String = {
     val srcTag = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$salt".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"$cacheBase/graft_index_${srcTag}_${corpusKey(dir, salt)}"
+    s"${TmpFs.base}/graft_index_${srcTag}_${corpusKey(dir, salt)}"
   }
 
   private def ensureIndexOver(s: SparkSession, idx: String,
@@ -477,8 +474,7 @@ object SparkEntry {
   def annIndexDir(dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-    s"$base/graft_ann_$key"
+    s"${TmpFs.base}/graft_ann_$key"
   }
 
   /** Query vector lookup — a pushed-down point read of the source table

@@ -266,10 +266,16 @@ object SegmentBuilder {
     * filtered out up front — fully join-shaped (see [[freshBatch]]):
     * the docmap scan is probed by the BROADCAST batch (left_semi,
     * never a docmap shuffle) and the batch anti-joins the resulting
-    * present-set (bounded by the batch, never materialized on the
-    * driver) — so a replayed micro-batch (Spark foreachBatch is
-    * at-least-once) is a no-op once the batch fully landed, and a
-    * 100M-doc CLI append never builds a driver-side id set. Postings
+    * present-set — so a replayed micro-batch (Spark foreachBatch is
+    * at-least-once) is a no-op once the batch fully landed. Driver
+    * footprint is ONE batch-sized broadcast (a broadcast still
+    * collects its build side to the driver — the honest bound is
+    * "bounded by the batch and Spark's broadcast cap", not "never on
+    * the driver"); what the join shape removes is the r3 plan-embedded
+    * id LITERAL, whose InSet both pinned the full set in the driver
+    * indefinitely and blew up codegen. Split appends larger than
+    * broadcast capacity, or route them through a fresh ingest.
+    * Postings
     * write FIRST, docmap last: the one remaining window (crash
     * between the two writes, then replay) re-appends that batch's
     * postings, which [[compactShard]] repairs by (term, doc_id) dedup
@@ -281,38 +287,43 @@ object SegmentBuilder {
     require(ingestDone(indexDir, cfg),
       s"$indexDir is not a completed ingest under this layout/config — " +
         "appends require a full ingest first")
+    // cached for the call: the emptiness probe and the staged tokenize
+    // must not each re-scan the batch source and re-run the anti-join
     val fresh = freshBatch(spark, docs, idCol, indexDir)
-    if (fresh.isEmpty) return // empty batch or full replay: no-op
-    // same defensive spread as ingest: tokenization is the dominant
-    // compute and must never be serialized by a one-fat-file input
-    val spread =
-      if (fresh.rdd.getNumPartitions >= cfg.buildPartitions) fresh
-      else fresh.repartition(cfg.buildPartitions)
-    val tok = if (cfg.storePositions) graft.analyze.CodeTokenizer.tokenPosCol(contentCol)
-              else graft.analyze.CodeTokenizer.tokenTfCol(contentCol)
-    val staged = spread.select(idCol.cast("long").as("doc_id"),
-        sha2(contentCol.cast("string"), 256).as("sha"), tok.as("t"))
-      .select(col("doc_id"), col("sha"),
-        col("t.doclen").as("doclen"), col("t.pairs").as("pairs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val postCols = Seq(col("p.term").as("term"), col("doc_id"), col("doclen"),
-        col("p.tf").as("tf")) ++
-        (if (cfg.storePositions) Seq(col("p.positions").as("positions")) else Nil)
-      staged.select(col("doc_id"), col("doclen"), explode(col("pairs")).as("p"))
-        .select(postCols: _*)
-        .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
-        .write.mode(SaveMode.Append).partitionBy("shard")
-        .parquet(s"$indexDir/postings")
-      staged.select("doc_id", "sha", "doclen")
-        .write.mode(SaveMode.Append).parquet(s"$indexDir/docmap")
-    } finally { staged.unpersist(); () }
+      if (fresh.isEmpty) return // empty batch or full replay: no-op
+      // same defensive spread as ingest: tokenization is the dominant
+      // compute and must never be serialized by a one-fat-file input
+      val spread =
+        if (fresh.rdd.getNumPartitions >= cfg.buildPartitions) fresh
+        else fresh.repartition(cfg.buildPartitions)
+      val tok = if (cfg.storePositions) graft.analyze.CodeTokenizer.tokenPosCol(contentCol)
+                else graft.analyze.CodeTokenizer.tokenTfCol(contentCol)
+      val staged = spread.select(idCol.cast("long").as("doc_id"),
+          sha2(contentCol.cast("string"), 256).as("sha"), tok.as("t"))
+        .select(col("doc_id"), col("sha"),
+          col("t.doclen").as("doclen"), col("t.pairs").as("pairs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val postCols = Seq(col("p.term").as("term"), col("doc_id"), col("doclen"),
+          col("p.tf").as("tf")) ++
+          (if (cfg.storePositions) Seq(col("p.positions").as("positions")) else Nil)
+        staged.select(col("doc_id"), col("doclen"), explode(col("pairs")).as("p"))
+          .select(postCols: _*)
+          .withColumn("shard", pmod(xxhash64(col("term")), lit(cfg.shards)).cast("int"))
+          .write.mode(SaveMode.Append).partitionBy("shard")
+          .parquet(s"$indexDir/postings")
+        staged.select("doc_id", "sha", "doclen")
+          .write.mode(SaveMode.Append).parquet(s"$indexDir/docmap")
+      } finally { staged.unpersist(); () }
+    } finally { fresh.unpersist(); () }
   }
 
   /** The batch rows NOT yet in docmap — [[appendDocs]]'s replay filter,
-    * join-shaped end to end. Two bounded probes, no docmap shuffle and
-    * no driver-side id set: (1) docmap scanned once with the BROADCAST
-    * batch ids as a left_semi probe yields the present-set (⊆ batch by
+    * join-shaped end to end. Two batch-bounded probes, no docmap
+    * shuffle: (1) docmap scanned once with the BROADCAST batch ids as
+    * a left_semi probe yields the present-set (⊆ batch by
     * construction, so it is broadcastable whenever the batch itself
     * was); (2) the batch anti-joins that present-set, again broadcast.
     * The present-set materializes eagerly (localCheckpoint) so the
@@ -387,8 +398,15 @@ object SegmentBuilder {
       // file needs no check; otherwise detect cheaply (narrow two-column
       // scan) and rewrite exactly when duplicates exist.
       if (dataFiles.length <= 1) return false
+      // countDistinct over a STRUCT, not the bare columns: multi-column
+      // countDistinct skips rows with any NULL field, so a null-id
+      // posting row (a malformed append) would read as a permanent
+      // duplicate and force a rewrite — and a lineage churn — on every
+      // maintenance pass; the struct form counts it like dropDuplicates
+      // deduplicates it (nulls equal)
       val r = spark.read.parquet(live.toString)
-        .agg(count(lit(1)), countDistinct(col("term"), col("doc_id"))).head()
+        .agg(count(lit(1)),
+          countDistinct(struct(col("term"), col("doc_id")))).head()
       if (r.getLong(0) == r.getLong(1)) return false // clean: don't churn lineage
     }
     spark.read.parquet(live.toString)

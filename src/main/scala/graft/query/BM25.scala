@@ -184,7 +184,13 @@ object BM25 {
         posPostIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else posPostIn
     try {
-      val dfMap = posPost.groupBy("term").agg(count(lit(1)).as("df"))
+      // df restricted to the QUERY's terms before the collect — the
+      // full-corpus path ([[phraseTopK]]) passes unpruned positional
+      // postings, and an unfiltered groupBy-collect there would pull
+      // the whole corpus vocabulary onto the driver
+      val qterms = analyzed.flatMap(_._2).distinct
+      val dfMap = posPost.filter(col("term").isInCollection(qterms))
+        .groupBy("term").agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val ranked = phraseRankOver(posPost, n, avgdl, analyzed, cfg, slop, dfMap)
       if (persistInput) ranked.localCheckpoint(eager = true) else ranked

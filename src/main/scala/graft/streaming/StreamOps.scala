@@ -102,9 +102,15 @@ object StreamOps {
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
         graft.index.SegmentBuilder.appendDocs(batch.sparkSession, batch,
           idCol, contentCol, indexDir, cfg)
+        // the reference's per-batch progress event
+        // (Services/MigrationService.cs:524-533); total is unknown for
+        // an unbounded stream, so the line carries batch id + duration
+        System.err.println(
+          f"[progress] stream batch=$batchId appended in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
       .start()
 }

@@ -18,8 +18,8 @@ object ServeProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    if (new java.io.File("/dev/shm").isDirectory)
-      b.config("spark.local.dir", "/dev/shm/graft-spark-local")
+    if (graft.TmpFs.available)
+      b.config("spark.local.dir", s"${graft.TmpFs.base}/graft-spark-local")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()

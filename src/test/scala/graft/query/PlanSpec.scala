@@ -100,6 +100,34 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("served phrase batch is ONE postings scan, no cache churn, no window") {
+    import graft.analyze.CodeTokenizer
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("plan_idx2_").toString
+    try {
+      graft.index.SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"),
+        dir, SparkEntry.IndexCfg)
+      // the r4 serving promise: after the handle's df warm-up, a batch
+      // is one aggregation plan over ONE pruned postings scan — no
+      // per-batch persist (InMemoryRelation), no checkpoint, no window
+      val handle = new BM25.PhraseHandle(spark, dir, SparkEntry.IndexCfg)
+      val plan = handle.topK(SparkEntry.PhraseQuerySet)
+        .queryExecution.executedPlan.toString
+      val scans = "FileScan parquet".r.findAllMatchIn(plan).size
+      assert(scans == 1, s"served phrase batch = one pruned scan, got $scans:\n$plan")
+      assert(!plan.contains("InMemoryRelation") && !plan.contains("InMemoryTableScan"),
+        s"no per-batch cache churn in the served phrase plan:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition") && !plan.contains("Window"),
+        s"phrase serving must rank via bounded aggregation:\n$plan")
+      // results identical to the one-shot indexed path
+      assert(handle.topK(SparkEntry.PhraseQuerySet).collect().toSeq ===
+        BM25.phraseTopKIndexed(spark, dir, SparkEntry.PhraseQuerySet,
+          SparkEntry.IndexCfg).collect().toSeq)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively(); ()
+    }
+  }
+
   test("batch similarity ranks via bounded aggregation — no window, no single-partition exchange") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = graft.ops.Similarity.cosineTopKBatch(emb, SparkEntry.SimQueryIds, 10)
