@@ -493,6 +493,33 @@ object OracleSql {
   /** mean_byte is computed over UTF-8 BYTES (hex-pair extraction from
     * the encoded blob), matching the engine's byte-level features —
     * ascii(char)/length(text) would diverge on any non-ASCII document. */
+  /** SimHash oracle — exact, not rows-only: FNV-1a 64 is re-derived in
+    * SQL (HUGEINT arithmetic mod 2^64 over the token's bytes — tokens
+    * are [a-z0-9] by the analyzer's contract, so ascii(char) == UTF-8
+    * byte) and the tf-weighted bit votes reassemble the 64-bit
+    * signature, rendered %016x on both sides. Zero-token docs simhash
+    * to 0 via the LEFT JOIN. Mirrors Dedup.fnv1a64/simhash64. */
+  private val ddSimhash =
+    s"""$postCte,
+       |hashed AS (
+       |  SELECT doc_id, tf, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(1, length(term)+1),
+       |        i -> CAST(ascii(term[i]) AS HUGEINT))),
+       |    (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616) AS h
+       |  FROM post),
+       |votes AS (
+       |  SELECT doc_id, i,
+       |    sum(tf * (CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) AS acc
+       |  FROM hashed, range(0, 64) r(i) GROUP BY doc_id, i),
+       |sh AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS s
+       |  FROM votes GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  lpad(lower(hex(CAST(coalesce(sh.s, 0) AS UBIGINT))), 16, '0') AS simhash
+       |FROM documents d LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin
+
   private val mmFeatures =
     """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
       |                  octet_length(encode(text))::BIGINT AS nb FROM documents)
@@ -643,6 +670,7 @@ object OracleSql {
     "q_set_ops"           -> qSetOps,
     "q_sessionize"        -> qSessionize,
     "dd_exact"            -> ddExact,
+    "dd_simhash"          -> ddSimhash,
     "dd_ngram_jaccard"    -> ddJaccard(0.06),
     "dd_minhash_lsh"      -> ddJaccard(0.5),
     "dd_cluster"          -> ddCluster(0.5),
