@@ -236,7 +236,12 @@ object BM25 {
     * df is computed from the LIVE positional postings the first time a
     * term is seen (one tiny pruned aggregation, <= query terms rows) and
     * cached, so a warm batch over known terms is ONE aggregation job.
-    * Result contract identical to [[phraseTopKIndexed]]. */
+    * Result contract identical to [[phraseTopKIndexed]].
+    *
+    * Staleness contract (same as [[Wand.Handle]]): the handle reflects
+    * the index state at construction — after [[graft.index.SegmentBuilder.appendDocs]]
+    * / a rebuild, construct a new handle (stats and cached df would
+    * otherwise lag the appended docs). */
   final class PhraseHandle(spark: SparkSession, indexDir: String,
                            cfg: EngineConfig = EngineConfig.default) {
     import spark.implicits._
