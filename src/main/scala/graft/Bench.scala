@@ -270,13 +270,16 @@ object Bench {
 
     // 2. scaling evidence: same indexing job at N and 4N cores (the
     // sandbox stand-in for N vs 4N executors — see BASELINE.md),
-    // INTERLEAVED (see scalingPairs). The scaling corpus is 2x the
-    // headline corpus (default 2M docs): the engine indexes >66k
-    // docs/s at 8 cores, so anything smaller lets fixed driver
-    // overhead (job submission, manifest commits) distort the ratio.
+    // INTERLEAVED (see scalingPairs). The scaling corpus is 3x the
+    // headline corpus (default 3M docs): the ratio needs the 4N leg to
+    // dwarf fixed driver overhead (job submission, manifest commits),
+    // and the corpus must RISE whenever the engine gets faster — the
+    // round-4 scanner tokenizer lifted 8-core indexing to ~80k docs/s,
+    // at which 2M docs finish in ~25 s and the ratio visibly decays
+    // toward the overhead floor (measured 0.797 at 2M vs 0.858 at 3M).
     val scaleN = sys.env.getOrElse("GRAFT_SCALE_N", "2").toInt
     val scaleReplicas = sys.env.getOrElse("GRAFT_SCALE_REPLICAS",
-      (replicas * 2).toString).toInt
+      (replicas * 3).toString).toInt
     val scalePairs = math.max(1, sys.env.getOrElse("GRAFT_SCALE_SAMPLES", "3").toInt)
     val (nDocs, pairTimes) = scalingPairs(scaleN, sfDir, scaleReplicas, scalePairs)
     val s2best = pairTimes.map(_._1).min

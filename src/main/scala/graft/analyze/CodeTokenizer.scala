@@ -45,13 +45,72 @@ object CodeTokenizer {
   private val AcronymP = java.util.regex.Pattern.compile(Acronym)
   private val NonWordP = java.util.regex.Pattern.compile(NonWord)
 
-  /** Pure-Scala tokenizer; canonical semantics. */
+  /** Pure-Scala tokenizer; canonical semantics. ASCII input (the
+    * overwhelming case for code and the synthetic corpora) takes a
+    * single-pass scanner — the regex pipeline is the ingest's dominant
+    * CPU, and two `replaceAll` passes plus a regex split cost several
+    * times a hand scan. Any char >= 0x80 falls back to the regex path:
+    * unicode lowercasing can map INTO [a-z0-9] (e.g. the Kelvin sign
+    * U+212A lowercases to 'k', Turkish 'İ' to "i"+combining-dot), which
+    * a byte-class scanner cannot see. Scanner/regex equality is
+    * property-tested in TokenizerSpec. */
   def tokenize(s: String): Array[String] = {
+    if (s == null || s.isEmpty) return Array.empty
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) return tokenizeRegex(s)
+      i += 1
+    }
+    tokenizeAscii(s)
+  }
+
+  /** The reference regex pipeline (canonical semantics; unicode path). */
+  private[analyze] def tokenizeRegex(s: String): Array[String] = {
     if (s == null || s.isEmpty) return Array.empty
     val boundary = AcronymP.matcher(
       CamelP.matcher(s).replaceAll("$1 $2")).replaceAll("$1 $2")
       .toLowerCase(java.util.Locale.ROOT)
     NonWordP.split(boundary).filter(keep)
+  }
+
+  /** Single-pass ASCII twin of [[tokenizeRegex]]. Boundary rules derive
+    * from the two ordered regex passes: (camel) a token breaks between
+    * [a-z0-9] and [A-Z]; (acronym) inside an UPPERCASE run followed by
+    * a lowercase letter, the break lands before the run's LAST upper —
+    * both passes' left-to-right non-overlapping matches reduce to
+    * exactly these local conditions because a match's trailing char
+    * class can never be the next match's leading char class. */
+  private[analyze] def tokenizeAscii(s: String): Array[String] = {
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]
+    val sb = new java.lang.StringBuilder(16)
+    @inline def lowerDigit(c: Char) = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+    @inline def upper(c: Char) = c >= 'A' && c <= 'Z'
+    @inline def lower(c: Char) = c >= 'a' && c <= 'z'
+    def flush(): Unit = {
+      if (sb.length > 0) {
+        val t = sb.toString
+        if (keep(t)) out += t
+        sb.setLength(0)
+      }
+    }
+    var i = 0
+    var prev: Char = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (!lowerDigit(c) && !upper(c)) flush() // separator
+      else {
+        if (sb.length > 0 && upper(c) &&
+            (lowerDigit(prev) || // camel: [a-z0-9] | [A-Z]
+              (upper(prev) && i + 1 < n && lower(s.charAt(i + 1))))) // acronym
+          flush()
+        sb.append(if (upper(c)) (c + 32).toChar else c)
+      }
+      prev = c
+      i += 1
+    }
+    flush()
+    out.result()
   }
 
   @inline def keep(t: String): Boolean =

@@ -40,6 +40,36 @@ class TokenizerSpec extends SparkSuite {
     }
   }
 
+  test("ASCII scanner is identical to the regex pipeline (property + edges)") {
+    // targeted edges: every boundary-rule interaction the scanner derives
+    // from the two ordered regex passes
+    val edges = Seq(
+      "aAaA", "aAA", "ABc", "ABCdEFGh", "AB1c", "a1A", "aB9c", "ABCDef",
+      "A", "AA", "Ab", "aA", "x9z ABCde fgHIj", "snake_caseCamelCASE",
+      "ABC", "abcDEFghiJKL", "a0B1c2D3", "__init__", "Foo2Bar",
+      "HTMLParser toBM25x", "parseCSVLine", "the THE The tHeX")
+    edges.foreach { s =>
+      assert(CodeTokenizer.tokenizeAscii(s).toSeq ===
+        CodeTokenizer.tokenizeRegex(s).toSeq, s"input: <$s>")
+    }
+    // property: random ASCII with dense case alternation
+    val tokenGen = Gen.listOfN(8, Gen.oneOf(
+      Gen.alphaNumChar, Gen.alphaUpperChar, Gen.alphaLowerChar,
+      Gen.numChar, Gen.oneOf(' ', '_', '/', '.', ',', '-'))).map(_.mkString)
+    val gen = Gen.listOfN(12, tokenGen).map(_.mkString(""))
+    (samples(gen, 500) ++ samples(Gen.asciiPrintableStr, 300)).foreach { s =>
+      assert(CodeTokenizer.tokenizeAscii(s).toSeq ===
+        CodeTokenizer.tokenizeRegex(s).toSeq, s"input: <$s>")
+    }
+    // dispatcher: unicode routes to the regex path, ASCII to the scanner,
+    // and both agree with the canonical semantics either way
+    Seq("Ünïcödé čhärs", "中文 词", "KKelvin", "İstanbul", "mixed ASCIIönly")
+      .foreach { s =>
+        assert(CodeTokenizer.tokenize(s).toSeq ===
+          CodeTokenizer.tokenizeRegex(s).toSeq, s"input: <$s>")
+      }
+  }
+
   test("Column implementation is identical to pure-Scala implementation") {
     import spark.implicits._
     val gen = Gen.listOf(Gen.oneOf(
