@@ -490,9 +490,6 @@ object OracleSql {
        |SELECT l.doc_id, l.canonical, s.cluster_size
        |FROM lab l JOIN sz s USING (canonical) ORDER BY l.doc_id""".stripMargin
 
-  /** mean_byte is computed over UTF-8 BYTES (hex-pair extraction from
-    * the encoded blob), matching the engine's byte-level features —
-    * ascii(char)/length(text) would diverge on any non-ASCII document. */
   /** SimHash oracle — exact, not rows-only: FNV-1a 64 is re-derived in
     * SQL (HUGEINT arithmetic mod 2^64 over the token's bytes — tokens
     * are [a-z0-9] by the analyzer's contract, so ascii(char) == UTF-8
@@ -595,6 +592,9 @@ object OracleSql {
        |FROM documents d JOIN toks ON d.doc_id = toks.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** mean_byte is computed over UTF-8 BYTES (hex-pair extraction from
+    * the encoded blob), matching the engine's byte-level features —
+    * ascii(char)/length(text) would diverge on any non-ASCII document. */
   /** Gopher-style repetition ratios; bigram list mirrors the engine's
     * 2-gram shingles over lowercased whitespace tokens. */
   private val txtRepetition =

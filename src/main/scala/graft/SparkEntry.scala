@@ -643,8 +643,11 @@ object SparkEntry {
         format_string("%.4f", col("cos")).as("cos"))
       .orderBy("qid", "rank")
 
-  /** SimHash signatures (64-bit, FNV-1a bit votes). Candidate pairing is
-    * tested in DedupSpec; signatures are engine-specific (rows-only check). */
+  /** SimHash signatures (64-bit, FNV-1a bit votes), %016x-rendered.
+    * Candidate pairing is tested in DedupSpec; the signature VALUES are
+    * pinned by an exact DuckDB oracle (FNV-1a re-derived in SQL —
+    * OracleSql.ddSimhash), so the rendering and row order here are
+    * load-bearing. */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashDf(tbl(s, dir, "documents"), col("doc_id"), col("text"))
       .select(col("doc_id"), format_string("%016x", col("simhash")).as("simhash"))

@@ -56,12 +56,11 @@ object CodeTokenizer {
     * property-tested in TokenizerSpec. */
   def tokenize(s: String): Array[String] = {
     if (s == null || s.isEmpty) return Array.empty
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) >= 0x80) return tokenizeRegex(s)
-      i += 1
-    }
-    tokenizeAscii(s)
+    // single traversal: the scanner itself bails (null) on the first
+    // char >= 0x80 — a separate ASCII pre-pass would walk every
+    // document twice on the ingest hot path
+    val fast = tokenizeAscii(s)
+    if (fast ne null) fast else tokenizeRegex(s)
   }
 
   /** The reference regex pipeline (canonical semantics; unicode path). */
@@ -79,7 +78,9 @@ object CodeTokenizer {
     * a lowercase letter, the break lands before the run's LAST upper —
     * both passes' left-to-right non-overlapping matches reduce to
     * exactly these local conditions because a match's trailing char
-    * class can never be the next match's leading char class. */
+    * class can never be the next match's leading char class.
+    * Returns NULL on the first char >= 0x80 (caller falls back to the
+    * regex path — fused so ASCII documents are walked exactly once). */
   private[analyze] def tokenizeAscii(s: String): Array[String] = {
     val n = s.length
     val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]
@@ -98,6 +99,7 @@ object CodeTokenizer {
     var prev: Char = 0
     while (i < n) {
       val c = s.charAt(i)
+      if (c >= 0x80) return null // unicode: caller takes the regex path
       if (!lowerDigit(c) && !upper(c)) flush() // separator
       else {
         if (sb.length > 0 && upper(c) &&

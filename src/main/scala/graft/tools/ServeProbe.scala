@@ -39,9 +39,11 @@ object ServeProbe {
     batchTimes("wand", SparkEntry.FtQuerySet.size) {
       handle.topK(SparkEntry.FtQuerySet).write.mode("overwrite").format("noop").save()
     }
+    // same measurement condition as Bench: the reusable serving handle
+    val phraseHandle = new graft.query.BM25.PhraseHandle(spark, idx, SparkEntry.IndexCfg)
     batchTimes("phrase", SparkEntry.PhraseQuerySet.size) {
-      graft.query.BM25.phraseTopKIndexed(spark, idx, SparkEntry.PhraseQuerySet,
-        SparkEntry.IndexCfg).write.mode("overwrite").format("noop").save()
+      phraseHandle.topK(SparkEntry.PhraseQuerySet)
+        .write.mode("overwrite").format("noop").save()
     }
     spark.stop()
   }
