@@ -297,6 +297,13 @@ object Bench {
       val s = pairEffs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // The least-contended pair, reported ALONGSIDE the median (labeled,
+    // never substituted): under heavy host steal the 8-core leg degrades
+    // superlinearly vs the 2-core leg, dragging every pair down together
+    // — the best pair bounds what the machine does when least contended,
+    // while the median remains the honest center (ratio noise is NOT
+    // one-sided: steal on the 2-core leg inflates a pair's ratio).
+    val effBestPair = pairEffs.max
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
@@ -319,6 +326,7 @@ object Bench {
         s""""append_compact":$lcJson,""" +
         s""""scaling":{"cores_n":$scaleN,"cores_4n":${scaleN * 4},"docs_per_sec_n":${thr2.round},""" +
         s""""docs_per_sec_4n":${thr8.round},"efficiency":${math.rint(eff * 1000) / 1000},""" +
+        s""""efficiency_best_pair":${math.rint(effBestPair * 1000) / 1000},""" +
         s""""method":"interleaved_median_of_$scalePairs","samples":$pairsJson},""" +
         s""""query_metrics":${metrics.json}}""")
     // fail loud: any broken headline query fails the bench run, and so
