@@ -184,7 +184,8 @@ object Bench {
         SegmentBuilder.appendDocs(spark, batch, col("doc_id"), col("text"), dir, cfg)
       }
       val tCompact = timed {
-        (0 until cfg.shards).foreach(sh => SegmentBuilder.compactShard(spark, dir, sh, cfg))
+        SegmentBuilder.compactShards(spark, dir, 0 until cfg.shards, cfg,
+          concurrency = 4); ()
       }
       val tRebuild = timed {
         SegmentBuilder.buildAll(spark, dir, cfg, concurrency = 4)

@@ -216,8 +216,8 @@ object Main {
           case Nil => 0 until SegmentBuilder.indexShards(indexDir)
           case xs  => xs.map(_.toInt)
         }
-        val rewritten = shards.count(sh =>
-          SegmentBuilder.compactShard(spark, indexDir, sh, cfg))
+        val rewritten = SegmentBuilder.compactShards(spark, indexDir, shards,
+          cfg, concurrency = 4).size
         println(s"""{"op":"compact","shards":${shards.size},"rewritten":$rewritten,""" +
           s""""secs":${(System.nanoTime() - t0) / 1e9}}""")
         spark.stop()

@@ -422,6 +422,31 @@ object SegmentBuilder {
     true
   }
 
+  /** Compact several shards, optionally concurrently — each shard's
+    * rewrite touches only its own partition directory and tmp/trash
+    * siblings, so shard compactions are independent (Spark schedules
+    * the rewrite jobs FIFO across the same executors, exactly like
+    * [[buildAll]]'s concurrent shard builds). Returns the shards that
+    * were rewritten. */
+  def compactShards(spark: SparkSession, indexDir: String, shards: Seq[Int],
+                    cfg: EngineConfig = EngineConfig.default,
+                    concurrency: Int = 1,
+                    targetBytes: Long = CompactTargetBytes): Seq[Int] = {
+    def one(sh: Int): Option[Int] =
+      if (compactShard(spark, indexDir, sh, cfg, targetBytes)) Some(sh) else None
+    if (concurrency <= 1 || shards.size <= 1) shards.flatMap(one)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(concurrency, shards.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(shards.map(sh => Future(one(sh)))), Duration.Inf)
+        .flatten
+      finally pool.shutdown()
+    }
+  }
+
   /** True iff a previous [[ingest]] ran to completion (both passes plus
     * the quantile-split table), UNDER THE CURRENT LAYOUT VERSION and
     * the same index_options/shard count (a positions-flag or

@@ -312,6 +312,28 @@ class SegmentBuilderSpec extends SparkSuite {
     } finally new Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("concurrent compactShards preserves every shard's rows and reports rewrites") {
+    val dir = freshDir()
+    try {
+      buildIndex(dir)
+      (0 until 3).foreach { i =>
+        val extra = spark.createDataFrame(Seq(
+          (940000L + i, s"ccompact needle batch$i tokens"))).toDF("doc_id", "text")
+        SegmentBuilder.appendDocs(spark, extra, col("doc_id"), col("text"), dir, cfg)
+      }
+      def rows() = spark.read.parquet(s"$dir/postings")
+        .select("term", "doc_id", "tf").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val before = rows()
+      val rewritten = SegmentBuilder.compactShards(spark, dir, 0 until cfg.shards,
+        cfg, concurrency = 4)
+      assert(rewritten.nonEmpty, "append-fragmented shards must rewrite")
+      assert(rows() === before, "concurrent compaction must preserve the row set")
+      assert(SegmentBuilder.compactShards(spark, dir, 0 until cfg.shards,
+        cfg, concurrency = 4).isEmpty, "second pass is a no-op")
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("lineage change (different config) invalidates checkpoints") {
     val dir = freshDir()
     try {
