@@ -210,14 +210,17 @@ object Main {
       case "compact" :: indexDir :: rest =>
         val spark = session("graft-compact")
         val t0 = System.nanoTime()
-        // shard range from the index's OWN marker, never the env config
-        // (a mismatched cfg would silently skip shards or abort mid-run)
-        val shards = rest match {
+        // `force` rewrites clean partitions too (serve-optimization of a
+        // fresh bulk ingest — hash-clustered files); shard range from
+        // the index's OWN marker, never the env config (a mismatched
+        // cfg would silently skip shards or abort mid-run)
+        val force = rest.contains("force")
+        val shards = rest.filterNot(_ == "force") match {
           case Nil => 0 until SegmentBuilder.indexShards(indexDir)
           case xs  => xs.map(_.toInt)
         }
         val rewritten = SegmentBuilder.compactShards(spark, indexDir, shards,
-          cfg, concurrency = 4).size
+          cfg, concurrency = 4, force = force).size
         println(s"""{"op":"compact","shards":${shards.size},"rewritten":$rewritten,""" +
           s""""secs":${(System.nanoTime() - t0) / 1e9}}""")
         spark.stop()
@@ -247,7 +250,7 @@ object Main {
           s"unknown command: ${other.mkString(" ")}\n" +
             "usage: ingest <docs.parquet> <indexDir> | " +
             "append <docs.parquet> <indexDir> | build <indexDir> | " +
-            "compact <indexDir> [shard...] | merge <indexDir> <outDir> | " +
+            "compact <indexDir> [force] [shard...] | merge <indexDir> <outDir> | " +
             "query <indexDir> <text> [k] | analyze <docs.parquet> | " +
             "ping <indexDir>")
         sys.exit(2)

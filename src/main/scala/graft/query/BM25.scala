@@ -132,10 +132,16 @@ object BM25 {
     * without running a Spark job. Parity is property-tested in
     * Bm25Spec. */
   def termShard(term: String, shards: Int): Int = {
-    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-      org.apache.spark.unsafe.types.UTF8String.fromString(term), 42L)
+    val h = termHash(term)
     (((h % shards) + shards) % shards).toInt
   }
+
+  /** Driver-side twin of `xxhash64(term)` (same XXH64 core, seed 42) —
+    * the store's thash clustering/pruning key. Parity with the writer
+    * is property-tested in Bm25Spec via termShard. */
+  def termHash(term: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term), 42L)
 
   /** The phrase terms' positional postings, pruned at the SCAN: shard
     * directories from the terms' own hash (partition pruning, computed
@@ -150,9 +156,17 @@ object BM25 {
     val all = spark.read.parquet(s"$indexDir/postings")
     require(all.columns.contains("positions"),
       s"$indexDir/postings has no positions column (pre-v2 layout) — re-ingest")
+    require(all.columns.contains("thash"),
+      s"$indexDir/postings has no thash column (pre-v3 layout) — re-ingest")
     val diskShards = graft.index.SegmentBuilder.indexShards(indexDir)
     val termShards = terms.map(termShard(_, diskShards)).distinct
+    // three pruning levels, driver-computed (zero Spark jobs): shard
+    // DIRECTORY pruning, thash ROW-GROUP pruning (files are
+    // hash-clustered — layout v3 — so long-stats ranges are tight),
+    // and the exact term filter (thash collisions are harmless)
+    val hashes = terms.map(termHash)
     all.filter(col("shard").isInCollection(termShards))
+      .filter(col("thash").isInCollection(hashes))
       .filter(col("term").isInCollection(terms))
       .select("term", "doc_id", "doclen", "tf", "positions")
   }

@@ -84,8 +84,13 @@ class PlanSpec extends SparkSuite {
       val pruned = BM25.prunedPositionalPostings(spark, dir,
         analyzed.flatMap(_._2).distinct)
       val scanPlan = pruned.queryExecution.executedPlan.toString
-      assert(scanPlan.contains("In(term"),
-        s"term IN (...) must reach the parquet reader (PushedFilters):\n$scanPlan")
+      // layout v3: row-group pruning rides the fixed-width thash key
+      // (files are hash-clustered); the exact term filter still guards
+      // collisions post-scan
+      assert(scanPlan.contains("In(thash"),
+        s"thash IN (...) must reach the parquet reader (PushedFilters):\n$scanPlan")
+      assert(scanPlan.contains("term#") && scanPlan.contains("INSET"),
+        s"the exact term filter must remain in the plan:\n$scanPlan")
       assert(!scanPlan.toLowerCase.contains("tokenize"),
         s"a served phrase query must never tokenize the corpus:\n$scanPlan")
       // the whole candidate derivation stays on the ONE pruned scan
