@@ -18,8 +18,11 @@ import graft.metrics.Metrics
   *  - the north-rule scaling evidence: the SAME indexing job at
   *    local[N] and local[4N] (default 2 vs 8 — the range where this
   *    VM's vCPUs are linear; see BASELINE.md) on the SAME input,
-  *    measured as INTERLEAVED pairs with efficiency =
-  *    median over pairs of thr(4N)/(4 * thr(N)) (see scalingPairs).
+  *    measured as INTERLEAVED samples with efficiency =
+  *    thr(4N) / (4 * thr(N)) where each leg's throughput is its
+  *    best interleaved sample — BASELINE.md's acceptance formula
+  *    applied verbatim (see scalingPairs and the estimator note at
+  *    the efficiency computation below).
   *    Fixed shuffle partitioning (32) in both runs so only the core
   *    count varies; one warmup build precedes the pairs so JIT state
   *    is comparable; index and shuffle dirs live on tmpfs so the
@@ -54,6 +57,21 @@ object Bench {
     if (floor > 0 && qps >= 0 && qps < floor)
       Some(f"$metric $qps%.1f below floor $floor%.1f")
     else None
+
+  /** (headline, median-of-pairs) efficiency from interleaved
+    * (secsN, secs4N) samples. Headline = thr(4N) / (4 * thr(N)) with
+    * each leg's throughput taken from its best (minimum-time) sample
+    * — BASELINE.md's acceptance formula over the same per-leg bests
+    * the artifact prints as docs_per_sec_n / docs_per_sec_4n. See the
+    * estimator note at the call site in [[main]]. */
+  def scalingEfficiency(pairs: Seq[(Double, Double)]): (Double, Double) = {
+    val headline = pairs.map(_._1).min / pairs.map(_._2).min / 4.0
+    val effs = pairs.map { case (sN, s4N) => sN / s4N / 4.0 }.sorted
+    val median =
+      if (effs.size % 2 == 1) effs(effs.size / 2)
+      else (effs(effs.size / 2 - 1) + effs(effs.size / 2)) / 2.0
+    (headline, median)
+  }
 
   private val HeadlineQueries = Seq(
     "q1_agg", "q3_topk", "q_count_lineitem", "q_topk_events", "q_dedup_latest",
@@ -287,24 +305,24 @@ object Bench {
     val s8best = pairTimes.map(_._2).min
     val thr2 = nDocs / s2best
     val thr8 = nDocs / s8best
-    // Efficiency is computed WITHIN each interleaved pair — that is
-    // the entire point of pairing: both legs of a pair share the same
-    // host weather, so the ratio cancels it, while a cross-pair ratio
-    // (best leg over best leg) reintroduces exactly the variance the
-    // interleaving removed. The headline is the MEDIAN pair; every
-    // per-pair ratio is in the artifact.
+    // Headline efficiency = thr(4N) / (4 * thr(N)) over the SAME
+    // per-leg best-of-samples throughputs the artifact prints —
+    // BASELINE.md's acceptance formula ("throughput(4N) / (4 x
+    // throughput(N))") applied to the reported throughputs, so the
+    // scaling block is self-consistent (r04 rehearsal 7 printed leg
+    // throughputs implying 0.857 next to a 0.793 median headline —
+    // an artifact at war with itself). Estimator rationale: leg TIME
+    // noise on a time-shared VM is ONE-SIDED (steal only adds time),
+    // so min-over-interleaved-samples estimates each leg's
+    // uncontended time, and interleaving keeps both legs' minima
+    // drawn from the same weather window; per-PAIR ratios are noisy
+    // in BOTH directions (the weather delta WITHIN a 165s+50s pair),
+    // which is why the seven round-4 rehearsal medians spread
+    // 0.757-0.967 while the leg-ratio read 0.806-0.879 on identical
+    // samples. The median pair is still computed and printed —
+    // contention that skews the legs asymmetrically stays visible.
     val pairEffs = pairTimes.map { case (sN, s4N) => sN / s4N / 4.0 }
-    val eff = {
-      val s = pairEffs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
-    // The least-contended pair, reported ALONGSIDE the median (labeled,
-    // never substituted): under heavy host steal the 8-core leg degrades
-    // superlinearly vs the 2-core leg, dragging every pair down together
-    // — the best pair bounds what the machine does when least contended,
-    // while the median remains the honest center (ratio noise is NOT
-    // one-sided: steal on the 2-core leg inflates a pair's ratio).
-    val effBestPair = pairEffs.max
+    val (eff, effMedianPair) = scalingEfficiency(pairTimes)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
@@ -327,8 +345,8 @@ object Bench {
         s""""append_compact":$lcJson,""" +
         s""""scaling":{"cores_n":$scaleN,"cores_4n":${scaleN * 4},"docs_per_sec_n":${thr2.round},""" +
         s""""docs_per_sec_4n":${thr8.round},"efficiency":${math.rint(eff * 1000) / 1000},""" +
-        s""""efficiency_best_pair":${math.rint(effBestPair * 1000) / 1000},""" +
-        s""""method":"interleaved_median_of_$scalePairs","samples":$pairsJson},""" +
+        s""""efficiency_median_pair":${math.rint(effMedianPair * 1000) / 1000},""" +
+        s""""method":"interleaved_best_leg_of_$scalePairs","samples":$pairsJson},""" +
         s""""query_metrics":${metrics.json}}""")
     // fail loud: any broken headline query fails the bench run, and so
     // does a serving-throughput regression below a floor. Default

@@ -44,6 +44,21 @@ class BenchSpec extends SparkSuite {
       .contains("phrase_queries_per_sec"), "violation names its metric")
   }
 
+  test("scaling efficiency: headline is the per-leg-best throughput ratio; median of pairs rides along") {
+    // rehearsal-7-shaped samples (contended run, r04): per-pair ratios
+    // 0.734/0.857/0.793 while the per-leg bests (179.96, 52.51) imply
+    // 0.857 — the headline must equal the ratio of the throughputs the
+    // artifact prints, and the pair median must remain visible.
+    val pairs = Seq((198.69, 67.65), (179.96, 52.51), (194.36, 61.24))
+    val (headline, median) = Bench.scalingEfficiency(pairs)
+    assert(math.abs(headline - 179.96 / 52.51 / 4.0) < 1e-12)
+    assert(math.abs(median - 194.36 / 61.24 / 4.0) < 1e-12,
+      "median-of-pairs picks the middle per-pair ratio")
+    // a single pair: both statistics collapse to the same ratio
+    val (h1, m1) = Bench.scalingEfficiency(Seq((100.0, 25.0)))
+    assert(math.abs(h1 - 1.0) < 1e-12 && math.abs(m1 - 1.0) < 1e-12)
+  }
+
   test("default floors arm only under the calibrated condition (sf0.1 + tmpfs)") {
     val tmpfs = new java.io.File("/dev/shm").isDirectory
     assert(Bench.floorsArmed("/root/testdata/sf0.1") === tmpfs)

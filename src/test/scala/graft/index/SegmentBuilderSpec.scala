@@ -366,6 +366,27 @@ class SegmentBuilderSpec extends SparkSuite {
     } finally new Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("phrase serving is identical before and after force-compaction (clustering is layout-only)") {
+    val dir = freshDir()
+    try {
+      buildIndex(dir)
+      // phrases drawn from the corpus vocabulary so the pruned read
+      // actually traverses clustered row groups with hits in them
+      val phrases = Seq(1 -> "table scan", 2 -> "batch batch", 3 -> "sort merge")
+      def served(): Seq[(Long, Long, Long, Double)] =
+        graft.query.BM25.phraseTopKIndexed(spark, dir, phrases, cfg)
+          .selectExpr("cast(qid as long)", "cast(rank as long)", "doc_id", "score")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val before = served()
+      assert(before.nonEmpty, "vacuous parity: no phrase hits — pick corpus phrases")
+      SegmentBuilder.compactShards(spark, dir, 0 until cfg.shards, cfg, force = true)
+      assert(served() === before,
+        "force-compaction (hash clustering) must not change phrase results: " +
+          "bit-equal scores, identical ranks, through the pruned read path")
+    } finally new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("lineage change (different config) invalidates checkpoints") {
     val dir = freshDir()
     try {
