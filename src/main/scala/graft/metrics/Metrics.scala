@@ -50,6 +50,34 @@ object Metrics {
     spark.sparkContext.addSparkListener(m)
     m
   }
+
+  /** Input bytes read from sources by everything `f` executes — the
+    * layout-v3 prune-ratio instrument (postings bytes READ by a served
+    * query, before vs after clustering compaction). The listener bus is
+    * asynchronous, so after `f` returns the count is polled until it
+    * stays stable; bounded wait, then the best-known value. Scoped: the
+    * listener detaches before returning. */
+  def inputBytesDuring(spark: SparkSession)(f: => Unit): Long = {
+    val m = new Metrics
+    spark.sparkContext.addSparkListener(m)
+    def stable(): Long = {
+      var last = -1L
+      var cur = m.inputBytes.sum()
+      var spins = 0
+      while (cur != last && spins < 50) {
+        Thread.sleep(100); last = cur; cur = m.inputBytes.sum(); spins += 1
+      }
+      cur
+    }
+    try {
+      // drain any backlog from work that PRECEDED the measurement (a
+      // freshly-attached listener still receives queued events), then
+      // measure the delta f produces
+      val base = stable()
+      f
+      stable() - base
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
 }
 
 /** Incremental progress + ETA — the reference's per-batch progress

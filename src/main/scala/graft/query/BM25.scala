@@ -112,18 +112,35 @@ object BM25 {
   def phraseTopKIndexed(spark: SparkSession, indexDir: String,
                         phrases: Seq[(Int, String)],
                         cfg: EngineConfig = EngineConfig.default,
-                        slop: Int = 0): DataFrame = {
-    import spark.implicits._
-    import graft.analyze.CodeTokenizer
-    val analyzed = phrases
-      .map { case (qid, text) => (qid, CodeTokenizer.tokenize(text).toSeq) }
-      .filter(_._2.nonEmpty)
-    if (analyzed.isEmpty)
-      return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
-    val (n, avgdl) = graft.index.SegmentBuilder.readStats(spark, indexDir)
-    val pruned = prunedPositionalPostings(spark, indexDir,
-      analyzed.flatMap(_._2).distinct)
-    phraseTopKOver(pruned, n, avgdl, analyzed, cfg, slop)
+                        slop: Int = 0): DataFrame =
+    // served through the process-level handle cache (the match_phrase
+    // twin of Wand.handleFor): the one-shot path must not re-read stats
+    // and re-derive per-term df on every call — warm calls over known
+    // terms are ONE aggregation job. Result contract unchanged (the
+    // handle computes df from the same pruned read this method used to).
+    phraseHandleFor(spark, indexDir, cfg).topK(phrases, slop)
+
+  /** Process-level [[PhraseHandle]] cache. Freshness is a driver-side
+    * file-listing signature over what phrase serving reads — postings +
+    * stats: an append/compaction/restat lands new files and swaps the
+    * handle (dropping its per-term df cache, which would otherwise go
+    * stale), an untouched index reuses it with zero metadata jobs. */
+  private val phraseHandleCache =
+    scala.collection.concurrent.TrieMap[(String, EngineConfig), (SparkSession, String, PhraseHandle)]()
+
+  def phraseHandleFor(spark: SparkSession, indexDir: String,
+                      cfg: EngineConfig = EngineConfig.default): PhraseHandle = synchronized {
+    val key = (indexDir, cfg)
+    val sig = graft.index.SegmentBuilder.dirSig(s"$indexDir/postings") + "|" +
+      graft.index.SegmentBuilder.dirSig(s"$indexDir/stats")
+    phraseHandleCache.get(key) match {
+      case Some((s, cachedSig, h))
+          if (s eq spark) && !s.sparkContext.isStopped && cachedSig == sig => h
+      case _ =>
+        val h = new PhraseHandle(spark, indexDir, cfg)
+        phraseHandleCache.put(key, (spark, sig, h))
+        h
+    }
   }
 
   /** The shard a term's postings land in — the DRIVER-SIDE twin of the

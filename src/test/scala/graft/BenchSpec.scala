@@ -16,12 +16,18 @@ class BenchSpec extends SparkSuite {
         s.range(10).toDF("n").filter(expr("assert_true(n < 5)").isNull)))
     val (times, failures) = Bench.timeQueries(spark, "/unused",
       Seq("good", "broken", "lazy_broken"), qs)
-    val byName = times.toMap
+    val byName = times.map { case (n, best, _) => n -> best }.toMap
     assert(byName("good") > 0)
     assert(byName("broken") === -1.0)
     assert(byName("lazy_broken") === -1.0, "failures at materialization count too")
     assert(failures.map(_._1).toSet === Set("broken", "lazy_broken"))
     assert(failures.toMap.apply("broken").contains("boom"))
+    // both raw samples are recorded (weather-vs-regression evidence in
+    // the artifact), and the best equals their minimum
+    val samples = times.map { case (n, _, ss) => n -> ss }.toMap
+    assert(samples("good").size === 2)
+    assert(byName("good") === samples("good").min)
+    assert(samples("broken").isEmpty)
   }
 
   test("serving qps floors: below-floor fails, at/above passes, 0 disables, skip-mode exempt") {

@@ -163,6 +163,96 @@ class MainSpec extends SparkSuite {
     } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("query CLI grammar: --phrase/--slop parse; bad combinations fail loud") {
+    assert(Main.parseQueryArgs(List("hello world")) ===
+      Main.QueryArgs("hello world", None, phrase = false, slop = 0))
+    assert(Main.parseQueryArgs(List("hello world", "25")) ===
+      Main.QueryArgs("hello world", Some(25), phrase = false, slop = 0))
+    assert(Main.parseQueryArgs(List("--phrase", "spark fast", "5")) ===
+      Main.QueryArgs("spark fast", Some(5), phrase = true, slop = 0))
+    assert(Main.parseQueryArgs(List("--phrase", "--slop", "2", "a b")) ===
+      Main.QueryArgs("a b", None, phrase = true, slop = 2))
+    assertThrows[IllegalArgumentException](
+      Main.parseQueryArgs(List("--slop", "2", "a b"))) // slop needs phrase
+    assertThrows[IllegalArgumentException](
+      Main.parseQueryArgs(List("--phrase", "--slop"))) // slop needs a value
+    assertThrows[IllegalArgumentException](Main.parseQueryArgs(List("--phrase")))
+  }
+
+  test("CLI query serves phrase and proximity from the positional index (ES match_phrase operability)") {
+    import org.apache.spark.sql.functions.col
+    val cfg = graft.config.EngineConfig.default.copy(
+      shards = 2, buildPartitions = 2, saltTargetPostings = 128)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cliq_").toString
+    try {
+      import spark.implicits._
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(Seq((980001L, "cliphrase alpha beta gamma needle"))
+          .toDF("doc_id", "text"))
+      graft.index.SegmentBuilder.ingest(spark, docs, col("doc_id"), col("text"), dir, cfg)
+      graft.index.SegmentBuilder.buildAll(spark, dir, cfg)
+      // exact adjacency finds the doc; reversed order does not
+      val hit = Main.runQuery(spark, dir,
+        Main.QueryArgs("alpha beta", None, phrase = true, slop = 0), cfg).collect()
+      assert(hit.length === 1 && hit.head.getLong(2) === 980001L)
+      assert(Main.runQuery(spark, dir,
+        Main.QueryArgs("beta alpha", None, phrase = true, slop = 0), cfg).collect()
+        .isEmpty, "match_phrase at slop 0 must be order-sensitive")
+      // slop relaxes to ordered proximity: alpha .. gamma at distance 2
+      assert(Main.runQuery(spark, dir,
+        Main.QueryArgs("alpha gamma", None, phrase = true, slop = 1), cfg).collect()
+        .map(_.getLong(2)).toSeq === Seq(980001L))
+      // non-phrase path still serves WAND with a k override
+      val wand = Main.runQuery(spark, dir,
+        Main.QueryArgs("cliphrase", Some(3), phrase = false, slop = 0), cfg).collect()
+      assert(wand.length === 1 && wand.head.getLong(2) === 980001L)
+    } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("migrate: ES-JSON -> parquet of valid rows; --fields path matches the inference path") {
+    val src = graft.accesslog.EsFixture.ensure()
+    val out1 = java.nio.file.Files.createTempDirectory("graft_mig1_").toString + "/out"
+    val out2 = java.nio.file.Files.createTempDirectory("graft_mig2_").toString + "/out"
+    try {
+      val c1 = Main.migrate(spark, src, out1)
+      assert(c1("total") > 0)
+      assert(c1("total") === c1("valid") + c1("invalid"))
+      val written = spark.read.parquet(out1)
+      assert(written.count() === c1("valid"),
+        "the output table must hold exactly the valid rows")
+      // the 100 TB path: caller-supplied field set, no inference pre-pass
+      val rawFields = {
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        try spark.read.json(src).schema.fieldNames.toSeq
+        finally spark.conf.set("spark.sql.caseSensitive", "false")
+      }
+      val c2 = Main.migrate(spark, src, out2, rawFields)
+      assert(c2 === c1, "fields= must be a pure I/O optimization, not a semantic change")
+      // created_at is migration-time current_timestamp (the reference's
+      // CreatedAt) — necessarily different between the two runs
+      val a = spark.read.parquet(out1).drop("created_at")
+      val b = spark.read.parquet(out2).drop("created_at")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "row sets must match between the inference and fields paths")
+    } finally {
+      new scala.reflect.io.Directory(
+        new java.io.File(out1).getParentFile).deleteRecursively()
+      new scala.reflect.io.Directory(
+        new java.io.File(out2).getParentFile).deleteRecursively()
+    }
+  }
+
+  test("cancellation flag mechanics (CancellationTokenSource semantics)") {
+    Cancellation.reset()
+    assert(!Cancellation.isRequested)
+    assert(!Cancellation.probe())
+    Cancellation.request(spark) // no jobs in the group: still just raises the flag
+    assert(Cancellation.isRequested && Cancellation.probe())
+    Cancellation.reset()
+    assert(!Cancellation.isRequested)
+  }
+
   test("dry-run analyzer reports corpus stats and the go/no-go gate") {
     val r = Main.analyze(spark, "/root/testdata/sf0.001/documents.parquet").head()
     assert(r.getAs[Long]("total_docs") === 500)
