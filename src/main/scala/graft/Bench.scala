@@ -44,6 +44,15 @@ object Bench {
   val DefaultQpsFloor = 8.0
   val DefaultPhraseQpsFloor = 2.0
 
+  /** Floor on the measured layout-v3 prune factor (phrase-serving bytes
+    * read, ingest layout / clustered layout — see lifecycleRun).
+    * Rehearsal measured 16.7x; below 3x means structural collapse
+    * (pushdown-breaking cast, compaction back to overlapping file
+    * spans), not weather — the ratio is a bytes ratio, insensitive to
+    * host steal. Armed under the same calibrated condition as the qps
+    * floors; override via GRAFT_PRUNE_FACTOR_FLOOR (0 disables). */
+  val DefaultPruneFactorFloor = 3.0
+
   /** Default floors arm ONLY under the calibrated condition — the sf0.1
     * corpus with a tmpfs index dir. On any other corpus or a host
     * without /dev/shm the numbers mean something else entirely, and a
@@ -382,10 +391,13 @@ object Bench {
     }.mkString("[", ",", "]")
     val lcJson = lifecycle.map { case (k, v) =>
       s""""$k":${math.rint(v * 100) / 100}""" }.mkString("{", ",", "}")
+    val pruneFactor = {
+      val (b, a) = pruneBytes
+      if (a > 0) math.rint(b.toDouble / a * 100) / 100 else -1.0
+    }
     val pruneJson = {
       val (b, a) = pruneBytes
-      val factor = if (a > 0) math.rint(b.toDouble / a * 100) / 100 else -1.0
-      s"""{"bytes_ingest_layout":$b,"bytes_clustered":$a,"factor":$factor}"""
+      s"""{"bytes_ingest_layout":$b,"bytes_clustered":$a,"factor":$pruneFactor}"""
     }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
@@ -411,9 +423,12 @@ object Bench {
       .getOrElse(if (armed) DefaultPhraseQpsFloor else 0.0)
     if (!armed && !skipQueries)
       System.err.println("[bench] serving floors UNARMED (corpus/host outside calibration)")
+    val pruneFloor = sys.env.get("GRAFT_PRUNE_FACTOR_FLOOR").map(_.toDouble)
+      .getOrElse(if (armed) DefaultPruneFactorFloor else 0.0)
     val violations =
       qpsFloorViolation("wand_queries_per_sec", qps, floor).toSeq ++
-        qpsFloorViolation("phrase_queries_per_sec", phraseQps, phraseFloor).toSeq
+        qpsFloorViolation("phrase_queries_per_sec", phraseQps, phraseFloor).toSeq ++
+        qpsFloorViolation("phrase_prune_factor", pruneFactor, pruneFloor).toSeq
     violations.foreach(msg => System.err.println(s"[bench] $msg"))
     if (violations.nonEmpty || failures.nonEmpty) sys.exit(1)
   }

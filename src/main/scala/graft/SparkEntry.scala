@@ -326,23 +326,36 @@ object SparkEntry {
     * first is mid-building or mid-serving; a recently-touched directory
     * is treated as live. A regenerated corpus therefore leaks its
     * predecessor's index for at most this window — bounded, and the
-    * next eviction pass reclaims it. Builds/reads refresh the marker
-    * mtimes, so an ACTIVE index never ages out. */
+    * next eviction pass reclaims it. The liveness signal is EXPLICIT:
+    * every [[ensureIndexOver]] call — the only gateway to these cached
+    * dirs — touches a `_heartbeat` file, so any index a process is
+    * actively resolving (to build OR to serve) never ages out; nothing
+    * relies on filesystem mtimes updating as a side effect (they
+    * don't — reads never touch them, and manifest writes land in a
+    * subdirectory). */
   private val EvictMinAgeMs: Long = 30L * 60 * 1000
+
+  private def touchHeartbeat(idx: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(idx, "_heartbeat")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, "")
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def ensureIndexOver(s: SparkSession, idx: String,
                               docs: => DataFrame, contentCol: Column): String = {
+    touchHeartbeat(idx)
     if (!SegmentBuilder.ingestDone(idx, IndexCfg)) {
       // evict stale content-keys of the SAME source before building the
       // new one (same srcTag prefix, different suffix) — but only dirs
-      // old enough that no concurrent JVM can plausibly be using them
+      // whose heartbeat is old enough that no concurrent JVM can
+      // plausibly be using them
       val f = new java.io.File(idx)
       val prefix = f.getName.substring(0, f.getName.lastIndexOf('_') + 1)
       val now = System.currentTimeMillis()
-      def freshest(d: java.io.File): Long = {
-        val marker = new java.io.File(d, "_ingested")
-        math.max(d.lastModified, if (marker.exists) marker.lastModified else 0L)
-      }
+      def freshest(d: java.io.File): Long =
+        Seq(new java.io.File(d, "_heartbeat"), new java.io.File(d, "_ingested"))
+          .filter(_.exists).map(_.lastModified).foldLeft(d.lastModified)(math.max)
       Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
         .filter(d => d.getName.startsWith(prefix) && d.getName != f.getName)
         .filter(d => now - freshest(d) > EvictMinAgeMs)

@@ -381,14 +381,19 @@ object AccessLog {
 
   // --- batch stats (ValidationService.cs:214-239, A3-A5) -------------------------
 
+  /** The four batch counters over a [[validate]]d frame — shared by
+    * [[batchStats]] and the CLI `migrate` verb's `observe()` (defined
+    * once so the two surfaces cannot drift). */
+  def batchCounters: Seq[Column] = Seq(
+    count(lit(1)).as("total"),
+    count(when(col("is_valid"), 1)).as("valid"),
+    count(when(!col("is_valid"), 1)).as("invalid"),
+    count(when(size(col("warnings")) > 0, 1)).as("with_warnings"))
+
   /** One-row stats frame: totals, ratios, and the top-10 message
     * histogram as array<struct<msg,cnt>>. */
   def batchStats(validated: DataFrame): DataFrame = {
-    val agg1 = validated.agg(
-      count(lit(1)).as("total"),
-      count(when(col("is_valid"), 1)).as("valid"),
-      count(when(!col("is_valid"), 1)).as("invalid"),
-      count(when(size(col("warnings")) > 0, 1)).as("with_warnings"))
+    val agg1 = validated.agg(batchCounters.head, batchCounters.tail: _*)
       .withColumn("valid_pct", lit(100.0) * col("valid") / col("total"))
       .withColumn("invalid_pct", lit(100.0) * col("invalid") / col("total"))
       .withColumn("warning_pct", lit(100.0) * col("with_warnings") / col("total"))

@@ -192,6 +192,11 @@ object Main {
       case Nil => Nil
     }
     require(pos.nonEmpty, "query needs <text>")
+    // loud on extras, like every other verb: an unquoted multi-word
+    // phrase must not silently run as its first word
+    require(pos.size <= 2,
+      s"query takes <text> [k], got extra args: ${pos.drop(2).mkString(" ")} " +
+        "(quote multi-word text)")
     require(slop == 0 || phrase, "--slop requires --phrase")
     require(slop >= 0, s"slop must be >= 0, got $slop")
     QueryArgs(pos.head, pos.lift(1).map(_.toInt), phrase, slop)
@@ -221,12 +226,11 @@ object Main {
     val validated = graft.accesslog.AccessLog.validate(
       graft.accesslog.AccessLog.readEsJson(spark, src, fields = fields))
     val obs = org.apache.spark.sql.Observation(s"migrate_${System.nanoTime()}")
+    // same counter expressions batchStats aggregates — defined ONCE in
+    // AccessLog so the two surfaces cannot drift
+    val counters = graft.accesslog.AccessLog.batchCounters
     validated
-      .observe(obs,
-        count(lit(1)).as("total"),
-        count(when(col("is_valid"), 1)).as("valid"),
-        count(when(!col("is_valid"), 1)).as("invalid"),
-        count(when(size(col("warnings")) > 0, 1)).as("with_warnings"))
+      .observe(obs, counters.head, counters.tail: _*)
       .filter(col("is_valid"))
       .drop("errors", "warnings", "is_valid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
@@ -259,6 +263,10 @@ object Main {
           println(s"""{"op":"ingest","secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
         }
         spark.stop()
+        // a raised flag exits 130 even when the op body happened to
+        // finish (SIGINT during a driver-side tail) — the README's
+        // "Ctrl-C = exit 130" contract must hold for every long verb
+        if (Cancellation.isRequested) sys.exit(130)
       case "build" :: indexDir :: Nil =>
         val spark = session("graft-build")
         Cancellation.install(spark, s"build $indexDir")
@@ -285,6 +293,7 @@ object Main {
           println(s"""{"op":"append","secs":${(System.nanoTime() - t0) / 1e9},"metrics":${m.json}}""")
         }
         spark.stop()
+        if (Cancellation.isRequested) sys.exit(130)
       case "compact" :: indexDir :: rest =>
         val spark = session("graft-compact")
         Cancellation.install(spark, s"compact $indexDir")
@@ -336,6 +345,7 @@ object Main {
           println(s"""{"op":"merge","secs":${(System.nanoTime() - t0) / 1e9}}""")
         }
         spark.stop()
+        if (Cancellation.isRequested) sys.exit(130)
       case "migrate" :: src :: out :: rest =>
         val fields = rest match {
           case Nil => Nil
@@ -359,6 +369,7 @@ object Main {
             s""""secs":${(System.nanoTime() - t0) / 1e9}}""")
         }
         spark.stop()
+        if (Cancellation.isRequested) sys.exit(130)
       case "query" :: indexDir :: rest if rest.nonEmpty =>
         val spark = session("graft-query")
         val a = parseQueryArgs(rest)

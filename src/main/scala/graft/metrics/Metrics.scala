@@ -2,7 +2,7 @@ package graft.metrics
 
 import java.util.concurrent.atomic.LongAdder
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Job-level metrics via SparkListener — the engine-grade counterpart of
@@ -36,6 +36,11 @@ final class Metrics extends SparkListener {
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = tasks.increment()
 
+  val jobsStarted = new LongAdder
+  val jobsEnded = new LongAdder
+  override def onJobStart(js: SparkListenerJobStart): Unit = jobsStarted.increment()
+  override def onJobEnd(je: SparkListenerJobEnd): Unit = jobsEnded.increment()
+
   def json: String =
     s"""{"stages":${stages.sum()},"tasks":${tasks.sum()},""" +
       s""""executorRunTimeMs":${executorRunTimeMs.sum()},""" +
@@ -60,14 +65,32 @@ object Metrics {
   def inputBytesDuring(spark: SparkSession)(f: => Unit): Long = {
     val m = new Metrics
     spark.sparkContext.addSparkListener(m)
+    // Drained = the whole counter tuple unchanged across SEVERAL
+    // consecutive polls AND no job still open (the bus is FIFO, so a
+    // job's end event arrives after all its stage events — matching
+    // start/end counts mean every started job's stages are counted).
+    // A single quiet 100 ms gap must NOT end the wait: a hard bench
+    // gate (the prune-factor floor) consumes this number, and a
+    // delivery stall on a contended host would otherwise truncate it.
+    def snapshot() =
+      (m.inputBytes.sum(), m.stages.sum(), m.jobsStarted.sum(), m.jobsEnded.sum())
     def stable(): Long = {
-      var last = -1L
-      var cur = m.inputBytes.sum()
+      var last = snapshot()
+      var quiet = 0
       var spins = 0
-      while (cur != last && spins < 50) {
-        Thread.sleep(100); last = cur; cur = m.inputBytes.sum(); spins += 1
+      while (quiet < 5 && spins < 300) {
+        Thread.sleep(100)
+        val cur = snapshot()
+        // strictly MORE starts than ends = a job f launched is still
+        // draining ('>' not '!=': a job begun before the listener
+        // attached can deliver an end without its start and must not
+        // wedge the wait)
+        val open = cur._3 > cur._4
+        quiet = if (cur == last && !open) quiet + 1 else 0
+        last = cur
+        spins += 1
       }
-      cur
+      last._1
     }
     try {
       // drain any backlog from work that PRECEDED the measurement (a

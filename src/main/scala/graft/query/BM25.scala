@@ -112,33 +112,42 @@ object BM25 {
   def phraseTopKIndexed(spark: SparkSession, indexDir: String,
                         phrases: Seq[(Int, String)],
                         cfg: EngineConfig = EngineConfig.default,
-                        slop: Int = 0): DataFrame =
+                        slop: Int = 0): DataFrame = {
+    import spark.implicits._
+    // empty-input early return BEFORE touching the handle: an all-empty
+    // batch (stopwords/punctuation only) must stay a zero-I/O no-op —
+    // handle construction reads the stats table, which on a non-index
+    // path would turn "nothing to do" into an exception
+    if (phrases.forall { case (_, t) => CodeTokenizer.tokenize(t).isEmpty })
+      return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
     // served through the process-level handle cache (the match_phrase
     // twin of Wand.handleFor): the one-shot path must not re-read stats
     // and re-derive per-term df on every call — warm calls over known
     // terms are ONE aggregation job. Result contract unchanged (the
     // handle computes df from the same pruned read this method used to).
     phraseHandleFor(spark, indexDir, cfg).topK(phrases, slop)
+  }
 
   /** Process-level [[PhraseHandle]] cache. Freshness is a driver-side
     * file-listing signature over what phrase serving reads — postings +
     * stats: an append/compaction/restat lands new files and swaps the
     * handle (dropping its per-term df cache, which would otherwise go
-    * stale), an untouched index reuses it with zero metadata jobs. */
+    * stale), an untouched index reuses it with zero metadata jobs.
+    * ONE handle per indexDir (config in the freshness check, not the
+    * key — same bounded-cache rule as [[Wand.handleFor]]). */
   private val phraseHandleCache =
-    scala.collection.concurrent.TrieMap[(String, EngineConfig), (SparkSession, String, PhraseHandle)]()
+    scala.collection.concurrent.TrieMap[String, (SparkSession, EngineConfig, String, PhraseHandle)]()
 
   def phraseHandleFor(spark: SparkSession, indexDir: String,
                       cfg: EngineConfig = EngineConfig.default): PhraseHandle = synchronized {
-    val key = (indexDir, cfg)
     val sig = graft.index.SegmentBuilder.dirSig(s"$indexDir/postings") + "|" +
       graft.index.SegmentBuilder.dirSig(s"$indexDir/stats")
-    phraseHandleCache.get(key) match {
-      case Some((s, cachedSig, h))
-          if (s eq spark) && !s.sparkContext.isStopped && cachedSig == sig => h
+    phraseHandleCache.get(indexDir) match {
+      case Some((s, c, cachedSig, h))
+          if (s eq spark) && !s.sparkContext.isStopped && c == cfg && cachedSig == sig => h
       case _ =>
         val h = new PhraseHandle(spark, indexDir, cfg)
-        phraseHandleCache.put(key, (spark, sig, h))
+        phraseHandleCache.put(indexDir, (spark, cfg, sig, h))
         h
     }
   }

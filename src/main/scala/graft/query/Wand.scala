@@ -264,27 +264,31 @@ object Wand {
     * the handle actually reads (segments + stats): a rebuild/restat
     * lands new part files and swaps the handle (the old one's cached
     * df table is unpersisted); an untouched index hits the cache with
-    * zero Spark jobs. Keyed by config too — topK/serve targets change
-    * results/fan-out — and guarded by session identity, since a handle
-    * pins cached blocks in ITS session's block manager. */
+    * zero Spark jobs. ONE handle per indexDir — the config rides in the
+    * freshness check rather than the key, so a per-query config
+    * override (CLI `query ... k`) swaps the handle instead of pinning
+    * another persisted df table per distinct config forever (an
+    * unbounded cache over caller-supplied configs would leak
+    * block-manager memory in a long-lived serving process). Guarded by
+    * session identity, since a handle pins cached blocks in ITS
+    * session's block manager. */
   private val handleCache =
-    scala.collection.concurrent.TrieMap[(String, EngineConfig), (SparkSession, String, Handle)]()
+    scala.collection.concurrent.TrieMap[String, (SparkSession, EngineConfig, String, Handle)]()
 
   def handleFor(spark: SparkSession, indexDir: String,
                 cfg: EngineConfig = EngineConfig.default): Handle = synchronized {
-    val key = (indexDir, cfg)
     val sig = SegmentBuilder.dirSig(s"$indexDir/segments") + "|" +
       SegmentBuilder.dirSig(s"$indexDir/stats")
-    handleCache.get(key) match {
-      case Some((s, cachedSig, h))
-          if (s eq spark) && !s.sparkContext.isStopped && cachedSig == sig => h
+    handleCache.get(indexDir) match {
+      case Some((s, c, cachedSig, h))
+          if (s eq spark) && !s.sparkContext.isStopped && c == cfg && cachedSig == sig => h
       case stale =>
-        stale.foreach { case (s, _, h) =>
+        stale.foreach { case (s, _, _, h) =>
           if (!s.sparkContext.isStopped)
             try h.close() catch { case scala.util.control.NonFatal(_) => () }
         }
         val h = new Handle(spark, indexDir, cfg)
-        handleCache.put(key, (spark, sig, h))
+        handleCache.put(indexDir, (spark, cfg, sig, h))
         h
     }
   }

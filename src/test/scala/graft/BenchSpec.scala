@@ -48,6 +48,14 @@ class BenchSpec extends SparkSuite {
     assert(phrase(4.7, Bench.DefaultPhraseQpsFloor).isEmpty)
     assert(phrase(1.0, Bench.DefaultPhraseQpsFloor).get
       .contains("phrase_queries_per_sec"), "violation names its metric")
+    // the layout-v3 prune-factor guard rides the same gate: a factor
+    // collapse (pushdown broken, compaction back to overlapping spans)
+    // fails the bench; the -1 sentinel (no measurement) is exempt
+    def prune(f: Double, floor: Double) =
+      Bench.qpsFloorViolation("phrase_prune_factor", f, floor)
+    assert(prune(1.1, Bench.DefaultPruneFactorFloor).isDefined)
+    assert(prune(16.7, Bench.DefaultPruneFactorFloor).isEmpty)
+    assert(prune(-1.0, Bench.DefaultPruneFactorFloor).isEmpty)
   }
 
   test("scaling efficiency: headline is the per-leg-best throughput ratio; median of pairs rides along") {

@@ -177,6 +177,10 @@ class MainSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](
       Main.parseQueryArgs(List("--phrase", "--slop"))) // slop needs a value
     assertThrows[IllegalArgumentException](Main.parseQueryArgs(List("--phrase")))
+    // extras fail loud: an unquoted multi-word phrase must not silently
+    // run as its first word
+    assertThrows[IllegalArgumentException](
+      Main.parseQueryArgs(List("spark", "2", "query")))
   }
 
   test("CLI query serves phrase and proximity from the positional index (ES match_phrase operability)") {
