@@ -90,7 +90,9 @@ object Bench {
     "es_json_coercion", "csv_coercion",
     "ft_postings", "ft_df", "ft_bm25_topk", "ft_bm25_conj", "ft_phrase",
     "ft_phrase_slop",
-    "ft_wand_topk", "ing_docmap", "code_docmap", "code_ft_topk",
+    "ft_wand_topk", "ft_bool_topk", "ft_prefix_topk", "ft_fuzzy_topk",
+    "ft_mlt_topk", "ft_terms_agg", "ft_highlight",
+    "ing_docmap", "code_docmap", "code_ft_topk",
     "code_wand_topk",
     "dd_exact", "dd_minhash_lsh", "dd_cluster",
     "dd_simhash", "dd_embed_cosine", "sim_cosine_topk", "sim_batch_topk",

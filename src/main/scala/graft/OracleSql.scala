@@ -201,6 +201,186 @@ object OracleSql {
        |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
   }
 
+  /** Standard BM25 weight expression over aliases p (postings), d (dfp),
+    * s (stats) — the exact shape ftBm25 uses (association mirrored in
+    * BM25.weightCol). */
+  private def wExpr: String = {
+    val (k1, b) = (cfg.k1, cfg.b)
+    s"""ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ($k1 + 1.0)) /
+       |      (p.tf + $k1 * ((1.0 - $b) + ($b * p.doclen) / s.avgdl))""".stripMargin
+  }
+
+  /** Shared tail: score expanded/selected (qid, term) rows against the
+    * postings and rank top-k — used by the prefix/fuzzy/mlt oracles.
+    * `expCte` must define exp(qid, term[, src_doc]); `extraWhere` lets
+    * mlt exclude its source doc. */
+  private def expansionScored(expCte: String, extraWhere: String = ""): String =
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |$expCte,
+       |wts AS (
+       |  SELECT e.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN exp e ON p.term = e.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s$extraWhere),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM sc)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+
+  /** ES bool query oracle: must/should score (term-ordered sum with
+    * +0.0 in place of non-scoring roles — exact, so bit-equal to the
+    * engine's skip-fold), filter requires without scoring, must_not
+    * excludes, minimum_should_match = 1 only when no must/filter. */
+  private def ftBool: String = {
+    val rows = SparkEntry.BoolQuerySet.flatMap { bq =>
+      bq.analyzed.map { case (t, role) =>
+        s"(${bq.qid}, '$t', '$role', ${bq.nMust}, ${bq.nFilter})"
+      }
+    }
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |q(qid, term, role, n_must, n_filter) AS (VALUES ${rows.mkString(", ")}),
+       |wts AS (
+       |  SELECT q.qid, q.role, q.n_must, q.n_filter, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |sc AS (
+       |  SELECT qid, doc_id,
+       |    sum(CASE WHEN role IN ('must','should') THEN w ELSE 0.0 END ORDER BY term) AS score,
+       |    count(*) FILTER (WHERE role = 'must') AS must_got,
+       |    count(*) FILTER (WHERE role = 'filter') AS filter_got,
+       |    count(*) FILTER (WHERE role = 'must_not') AS not_got,
+       |    count(*) FILTER (WHERE role = 'should') AS should_got,
+       |    max(n_must) AS n_must, max(n_filter) AS n_filter
+       |  FROM wts GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT * FROM sc
+       |  WHERE must_got = n_must AND filter_got = n_filter AND not_got = 0
+       |    AND (n_must + n_filter > 0 OR should_got > 0)),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM cand)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** ES prefix query oracle: lexicographic-first maxExpansions matching
+    * terms (Lucene term-dict order), scored as a disjunction. */
+  private def ftPrefix: String = {
+    val selects = SparkEntry.PrefixQuerySet.map { case (qid, p0) =>
+      val p = p0.trim.toLowerCase(java.util.Locale.ROOT)
+      s"""SELECT $qid AS qid, term FROM (
+         |    SELECT term FROM dfp WHERE term LIKE '$p%'
+         |    ORDER BY term LIMIT ${graft.query.QueryDsl.MaxExpansions})""".stripMargin
+    }
+    expansionScored(s"exp AS (${selects.mkString("\n  UNION ALL\n")})")
+  }
+
+  /** ES fuzzy query oracle: classic-Levenshtein expansion at AUTO
+    * distance, highest-df-first (ties term-asc), capped, scored as a
+    * disjunction with each expansion's own df. */
+  private def ftFuzzy: String = {
+    val selects = SparkEntry.FuzzyQuerySet.map { case (qid, t0) =>
+      val t = t0.trim.toLowerCase(java.util.Locale.ROOT)
+      val d = graft.query.QueryDsl.autoFuzziness(t)
+      s"""SELECT $qid AS qid, term FROM (
+         |    SELECT term FROM dfp
+         |    WHERE abs(len(term) - ${t.length}) <= $d AND levenshtein(term, '$t') <= $d
+         |    ORDER BY df DESC, term LIMIT ${graft.query.QueryDsl.MaxExpansions})""".stripMargin
+    }
+    expansionScored(s"exp AS (${selects.mkString("\n  UNION ALL\n")})")
+  }
+
+  /** ES more_like_this oracle: top tf*idf source-doc terms (tf >=
+    * MltMinTf, df >= MltMinDf, ties term-asc) as a disjunction, source
+    * doc excluded. The interest product mirrors the engine: BIGINT tf *
+    * DOUBLE idf -> the same double, so the selection order ties out. */
+  private def ftMlt: String = {
+    import graft.query.QueryDsl.{MltMaxTerms, MltMinDf, MltMinTf}
+    val rows = SparkEntry.MltQuerySet.map { case (qid, doc) => s"($qid, $doc)" }
+    val expCte =
+      s"""qsrc(qid, src_doc) AS (VALUES ${rows.mkString(", ")}),
+         |src AS (
+         |  SELECT q.qid, p.term, q.src_doc,
+         |    p.tf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS interest
+         |  FROM post p JOIN qsrc q ON p.doc_id = q.src_doc
+         |  JOIN dfp d ON p.term = d.term CROSS JOIN stats s
+         |  WHERE p.tf >= $MltMinTf AND d.df >= $MltMinDf),
+         |exp AS (
+         |  SELECT qid, term, src_doc FROM (
+         |    SELECT qid, term, src_doc,
+         |      row_number() OVER (PARTITION BY qid ORDER BY interest DESC, term) AS r
+         |    FROM src) WHERE r <= $MltMaxTerms)""".stripMargin
+    expansionScored(expCte, extraWhere = "\n  WHERE p.doc_id != e.src_doc")
+  }
+
+  /** ES terms-agg (facet) oracle: distinct matching docs per query,
+    * bucketed by lang, ranked (count desc, key asc). */
+  private def ftTermsAgg: String = {
+    val pairs = SparkEntry.TermsAggQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term),
+       |b AS (SELECT m.qid, d.lang AS bucket, count(*) AS cnt
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2),
+       |rk AS (SELECT qid, bucket, cnt,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, bucket) AS "rank"
+       |       FROM b)
+       |SELECT qid, "rank", bucket, cnt FROM rk WHERE "rank" <= 10
+       |ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** ES highlight oracle: the ftBm25 ranking joined back to the token
+    * arrays; fragment = tokens[first_match-3 .. first_match+3] with
+    * matched tokens em-wrapped, space-joined — the engine's token-level
+    * contract verbatim (list_slice end is inclusive and clamps, like
+    * Spark's slice with the same arithmetic). */
+  private def ftHighlight: String = {
+    val ctx = graft.query.QueryDsl.HighlightContext
+    val pairs = SparkEntry.HighlightQuerySet.flatMap { case (qid, text) =>
+      val ts = CodeTokenizer.queryTerms(text)
+      ts.map(t => s"($qid, '$t', ${ts.size})")
+    }
+    val (k1, b) = (cfg.k1, cfg.b)
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |q(qid, term, n_terms) AS (VALUES ${pairs.mkString(", ")}),
+       |qt AS (SELECT qid, list(term ORDER BY term) AS qterms FROM q GROUP BY 1),
+       |wts AS (
+       |  SELECT q.qid, p.term, p.doc_id,
+       |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ($k1 + 1.0)) /
+       |      (p.tf + $k1 * ((1.0 - $b) + ($b * p.doclen) / s.avgdl)) AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM sc),
+       |hit AS (SELECT * FROM rk WHERE "rank" <= ${cfg.topK}),
+       |hl AS (
+       |  SELECT h.qid, h."rank", h.doc_id, h.score,
+       |    list_filter(range(1, len(t.tokens) + 1),
+       |      i -> list_contains(qt.qterms, t.tokens[i]))[1] AS fi,
+       |    t.tokens AS tokens, qt.qterms AS qterms
+       |  FROM hit h JOIN toks t ON h.doc_id = t.doc_id JOIN qt ON h.qid = qt.qid),
+       |frag AS (
+       |  SELECT qid, "rank", doc_id, score, qterms,
+       |    list_slice(tokens, greatest(fi - $ctx, 1), fi + $ctx) AS win
+       |  FROM hl)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score,
+       |  array_to_string(list_transform(win,
+       |    t -> CASE WHEN list_contains(qterms, t)
+       |         THEN '<em>' || t || '</em>' ELSE t END), ' ') AS snippet
+       |FROM frag ORDER BY qid, "rank"""".stripMargin
+  }
+
   /** Shared phrase-scoring scaffold: per-phrase candidate SELECTs
     * (qid, doc_id), then the standard BM25 pipeline on distinct terms. */
   private def phraseScaffold(analyzed: Seq[(Int, Seq[String])],
@@ -657,6 +837,12 @@ object OracleSql {
     "ft_phrase"           -> ftPhrase,
     "ft_phrase_slop"      -> ftPhraseSlop,
     "ft_wand_topk"        -> ftBm25(), // WAND must be rank-identical to the declarative path
+    "ft_bool_topk"        -> ftBool,
+    "ft_prefix_topk"      -> ftPrefix,
+    "ft_fuzzy_topk"       -> ftFuzzy,
+    "ft_mlt_topk"         -> ftMlt,
+    "ft_terms_agg"        -> ftTermsAgg,
+    "ft_highlight"        -> ftHighlight,
     "ing_docmap"          -> ingDocmap,
     "code_docmap"         -> codeDocmap,
     "code_ft_topk"        -> ftBm25(srcCte = codePostCte),

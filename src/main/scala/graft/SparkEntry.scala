@@ -8,7 +8,7 @@ import graft.analyze.CodeTokenizer
 import graft.config.EngineConfig
 import graft.index.{Postings, SegmentBuilder}
 import graft.ops.{AnnIndex, Dedup, Multimodal, Similarity}
-import graft.query.{BM25, Wand}
+import graft.query.{BM25, QueryDsl, Wand}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB SQL oracle (generated
@@ -278,6 +278,96 @@ object SparkEntry {
   private def qFtBm25Conj(s: SparkSession, dir: String): DataFrame =
     BM25.topK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
       FtQuerySet, conjunctive = true)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** Bool query set: the four role algebras a NEST user writes daily —
+    * must+should, pure should (minimum_should_match=1), must_not
+    * exclusion, non-scoring filter, an absent should (must still
+    * scores), an absent must (empty result). */
+  val BoolQuerySet: Seq[QueryDsl.BoolQuery] = Seq(
+    QueryDsl.BoolQuery(1, must = Seq("spark"), should = Seq("fast", "query")),
+    QueryDsl.BoolQuery(2, should = Seq("dup", "table")),
+    QueryDsl.BoolQuery(3, must = Seq("table"), mustNot = Seq("dup")),
+    QueryDsl.BoolQuery(4, filter = Seq("data"), should = Seq("stream", "window")),
+    QueryDsl.BoolQuery(5, must = Seq("spark", "fast"), should = Seq("zzznotfound")),
+    QueryDsl.BoolQuery(6, must = Seq("zzznotfound"), should = Seq("table")),
+    QueryDsl.BoolQuery(7, must = Seq("sparkFastQuery"), mustNot = Seq("zzznotfound")))
+
+  /** ES bool query (must scores+requires, should scores, filter
+    * requires without scoring, must_not excludes): one postings pass,
+    * one aggregation — role algebra rides the aggregate. */
+  private def qFtBool(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.boolTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      BoolQuerySet)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** Prefix query set: mid-frequency stem, hot single letter (exercises
+    * the deterministic expansion cap), rare stem, absent stem. */
+  val PrefixQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "tab", 2 -> "d", 3 -> "quer", 4 -> "zzz", 5 -> "sp")
+
+  /** ES prefix query served from the segment index: term-dictionary
+    * expansion (lexicographic-first 50, Lucene term-dict order) through
+    * exact WAND — rewrite=scoring_boolean semantics. */
+  private def qFtPrefix(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.prefixTopK(s, ensureIndex(s, dir), PrefixQuerySet, cfg = IndexCfg)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** Fuzzy query set: deletion, substitution, 2-edit long term, an
+    * exact term (AUTO=1 pulls in its neighbors too), absent garble. */
+  val FuzzyQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "tble", 2 -> "spork", 3 -> "querry", 4 -> "spark", 5 -> "zzznotfnd")
+
+  /** ES fuzzy query served from the segment index: AUTO fuzziness,
+    * classic-Levenshtein expansion highest-df-first capped at 50,
+    * through exact WAND with each expansion's own df. */
+  private def qFtFuzzy(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.fuzzyTopK(s, ensureIndex(s, dir), FuzzyQuerySet, cfg = IndexCfg)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** Terms-agg query set: multi-term match, hot single term, absent
+    * term (zero buckets), rare term. */
+  val TermsAggQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "spark fast query", 2 -> "table", 3 -> "zzznotfound", 4 -> "dup")
+
+  /** ES terms aggregation (facets): bucket every query-matching doc by
+    * lang, top buckets by (count desc, key asc) — the ES default order
+    * with its deterministic tie-break. */
+  private def qFtTermsAgg(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.termsAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      TermsAggQuerySet, col("lang"))
+
+  /** Highlight query set: single rare term, multi-term, camelCase
+    * (highlights BOTH split terms), conjunction-heavy. */
+  val HighlightQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "dup", 2 -> "spark fast query", 3 -> "sparkFastQuery",
+    4 -> "hash join merge sort")
+
+  /** ES highlight analogue: top-k BM25 hits with a token-level snippet
+    * (window of +-3 analyzed tokens around the first match, matched
+    * tokens wrapped in em tags — the plain highlighter re-analyzes
+    * stored text the same way). */
+  private def qFtHighlight(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.highlightTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      HighlightQuerySet)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"), col("snippet"))
+
+  /** MLT query set: (qid, source doc id); ids exist at every SF
+    * (documents doc_id 0..499 everywhere); 999999 is the absent-doc
+    * probe (zero hits, like ES). */
+  val MltQuerySet: Seq[(Int, Long)] = Seq(
+    1 -> 3L, 2 -> 42L, 3 -> 123L, 4 -> 321L, 5 -> 999999L)
+
+  /** ES more_like_this: top-25 tf*idf source-doc terms (tf>=2, df>=5 —
+    * ES defaults) as a BM25 disjunction, source doc excluded. */
+  private def qFtMlt(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.mltTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      MltQuerySet)
       .select(col("qid"), col("rank"), col("doc_id"),
         format_string("%.4f", col("score")).as("score"))
 
@@ -806,6 +896,12 @@ object SparkEntry {
     "ft_phrase"           -> (qFtPhrase _),
     "ft_phrase_slop"      -> (qFtPhraseSlop _),
     "ft_wand_topk"        -> (qFtWand _),
+    "ft_bool_topk"        -> (qFtBool _),
+    "ft_prefix_topk"      -> (qFtPrefix _),
+    "ft_fuzzy_topk"       -> (qFtFuzzy _),
+    "ft_mlt_topk"         -> (qFtMlt _),
+    "ft_terms_agg"        -> (qFtTermsAgg _),
+    "ft_highlight"        -> (qFtHighlight _),
     "ing_docmap"          -> (qIngDocmap _),
     "code_docmap"         -> (qCodeDocmap _),
     "code_ft_topk"        -> (qCodeFtTopk _),

@@ -331,11 +331,48 @@ object Wand {
       }
 
     def topK(queries: Seq[(Int, String)],
-             taskPostingsAcc: CollectionAccumulator[java.lang.Long] = null): DataFrame = {
-      val allTerms = queries.flatMap { case (_, t) => CodeTokenizer.queryTerms(t) }.distinct
+             taskPostingsAcc: CollectionAccumulator[java.lang.Long] = null): DataFrame =
+      topKTerms(
+        queries.map { case (qid, t) => qid -> CodeTokenizer.queryTerms(t) },
+        taskPostingsAcc)
+
+    /** Lexicographically-first `maxExpansions` index terms starting with
+      * `prefix` — the ES prefix-query expansion (Lucene walks the term
+      * dict in order, which IS lexicographic; the cap is
+      * index.max_terms_count's role). Bounded collect (<= maxExpansions
+      * strings); the scan touches only the cached (term, df) metadata
+      * table — never posting payloads — and StartsWith pushes into its
+      * parquet lineage. ES prefix queries are NOT analyzed; the caller
+      * lowercases, nothing more. */
+    def expandPrefix(prefix: String, maxExpansions: Int): Seq[String] =
+      dfTable.filter(col("term").startsWith(prefix))
+        .orderBy("term").limit(maxExpansions)
+        .collect().map(_.getString(0)).toSeq
+
+    /** Index terms within classic Levenshtein distance <= maxDist of
+      * `term`, highest-df first (ES fuzzy rewrite
+      * top_terms_blended_freqs keeps the highest-frequency expansions),
+      * ties broken term-asc, capped at maxExpansions. The length-window
+      * conjunct is a cheap pre-filter (|len diff| > d can never be
+      * within d). Distance is CLASSIC Levenshtein on both engine and
+      * oracle (Spark's levenshtein(); ES uses Damerau where a
+      * transposition costs 1 — documented deviation, SURVEY §12). */
+    def expandFuzzy(term: String, maxDist: Int, maxExpansions: Int): Seq[String] =
+      dfTable.filter(
+          abs(length(col("term")) - lit(term.length)) <= maxDist &&
+          levenshtein(col("term"), lit(term)) <= maxDist)
+        .orderBy(col("df").desc, col("term")).limit(maxExpansions)
+        .collect().map(_.getString(0)).toSeq
+
+    /** As [[topK]], over pre-resolved per-query term lists (the prefix /
+      * fuzzy serving path hands expanded terms straight to the same
+      * exact block-max WAND disjunction). */
+    def topKTerms(queries: Seq[(Int, Seq[String])],
+                  taskPostingsAcc: CollectionAccumulator[java.lang.Long] = null): DataFrame = {
+      val allTerms = queries.flatMap(_._2).distinct
       if (allTerms.isEmpty)
         return spark.emptyDataset[Hit].toDF().orderBy("qid", "rank")
-      val q2t = queries.flatMap { case (qid, t) => CodeTokenizer.queryTerms(t).map(qid -> _) }
+      val q2t = queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
         .toDF("qid", "term")
       val k = cfg.topK; val k1 = cfg.k1; val b = cfg.b
       val nL = n; val avg = avgdl

@@ -181,6 +181,14 @@ class MainSpec extends SparkSuite {
     // run as its first word
     assertThrows[IllegalArgumentException](
       Main.parseQueryArgs(List("spark", "2", "query")))
+    assert(Main.parseQueryArgs(List("--prefix", "spa")) ===
+      Main.QueryArgs("spa", None, phrase = false, slop = 0, prefix = true))
+    assert(Main.parseQueryArgs(List("--fuzzy", "spork", "5")) ===
+      Main.QueryArgs("spork", Some(5), phrase = false, slop = 0, fuzzy = true))
+    assertThrows[IllegalArgumentException](
+      Main.parseQueryArgs(List("--phrase", "--prefix", "x"))) // modes are exclusive
+    assertThrows[IllegalArgumentException](
+      Main.parseQueryArgs(List("--prefix", "--fuzzy", "x")))
   }
 
   test("CLI query serves phrase and proximity from the positional index (ES match_phrase operability)") {
@@ -211,6 +219,16 @@ class MainSpec extends SparkSuite {
       val wand = Main.runQuery(spark, dir,
         Main.QueryArgs("cliphrase", Some(3), phrase = false, slop = 0), cfg).collect()
       assert(wand.length === 1 && wand.head.getLong(2) === 980001L)
+      // prefix mode expands the term dictionary and serves through WAND
+      val pref = Main.runQuery(spark, dir,
+        Main.QueryArgs("cliphr", None, phrase = false, slop = 0, prefix = true), cfg)
+        .collect()
+      assert(pref.length === 1 && pref.head.getLong(2) === 980001L)
+      // fuzzy mode: one deletion from 'cliphrase' still finds the doc
+      val fuzz = Main.runQuery(spark, dir,
+        Main.QueryArgs("cliphras", None, phrase = false, slop = 0, fuzzy = true), cfg)
+        .collect()
+      assert(fuzz.length === 1 && fuzz.head.getLong(2) === 980001L)
     } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
