@@ -91,7 +91,11 @@ object Bench {
     "ft_postings", "ft_df", "ft_bm25_topk", "ft_bm25_conj", "ft_phrase",
     "ft_phrase_slop",
     "ft_wand_topk", "ft_bool_topk", "ft_prefix_topk", "ft_fuzzy_topk",
-    "ft_mlt_topk", "ft_terms_agg", "ft_highlight",
+    "ft_mlt_topk", "ft_terms_agg", "ft_highlight", "ft_range_topk",
+    "ft_phrase_prefix", "ft_wildcard_topk", "ft_search_after",
+    "ft_stats_agg", "ft_multi_match", "ft_histogram_agg",
+    "ft_cardinality_agg", "ft_sort_topk", "ft_date_histogram",
+    "ft_terms_stats", "ft_percentiles_agg", "ft_sig_terms",
     "ing_docmap", "code_docmap", "code_ft_topk",
     "code_wand_topk",
     "dd_exact", "dd_minhash_lsh", "dd_cluster",

@@ -237,15 +237,15 @@ object OracleSql {
   private def ftBool: String = {
     val rows = SparkEntry.BoolQuerySet.flatMap { bq =>
       bq.analyzed.map { case (t, role) =>
-        s"(${bq.qid}, '$t', '$role', ${bq.nMust}, ${bq.nFilter})"
+        s"(${bq.qid}, '$t', '$role', ${bq.nMust}, ${bq.nFilter}, ${bq.msm})"
       }
     }
     s"""$postCte,
        |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
        |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-       |q(qid, term, role, n_must, n_filter) AS (VALUES ${rows.mkString(", ")}),
+       |q(qid, term, role, n_must, n_filter, n_msm) AS (VALUES ${rows.mkString(", ")}),
        |wts AS (
-       |  SELECT q.qid, q.role, q.n_must, q.n_filter, p.term, p.doc_id, $wExpr AS w
+       |  SELECT q.qid, q.role, q.n_must, q.n_filter, q.n_msm, p.term, p.doc_id, $wExpr AS w
        |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
        |  CROSS JOIN stats s),
        |sc AS (
@@ -255,12 +255,12 @@ object OracleSql {
        |    count(*) FILTER (WHERE role = 'filter') AS filter_got,
        |    count(*) FILTER (WHERE role = 'must_not') AS not_got,
        |    count(*) FILTER (WHERE role = 'should') AS should_got,
-       |    max(n_must) AS n_must, max(n_filter) AS n_filter
+       |    max(n_must) AS n_must, max(n_filter) AS n_filter, max(n_msm) AS n_msm
        |  FROM wts GROUP BY 1, 2),
        |cand AS (
        |  SELECT * FROM sc
        |  WHERE must_got = n_must AND filter_got = n_filter AND not_got = 0
-       |    AND (n_must + n_filter > 0 OR should_got > 0)),
+       |    AND should_got >= n_msm),
        |rk AS (SELECT qid, doc_id, score,
        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
        |       FROM cand)
@@ -295,6 +295,251 @@ object OracleSql {
     expansionScored(s"exp AS (${selects.mkString("\n  UNION ALL\n")})")
   }
 
+  /** ES wildcard oracle: LIKE translation of the pattern (* -> %,
+    * ? -> _; tokens are [a-z0-9] so no escaping arises),
+    * lexicographic-first cap, scored as a disjunction. */
+  private def ftWildcard: String = {
+    val selects = SparkEntry.WildcardQuerySet.map { case (qid, p0) =>
+      val p = p0.trim.toLowerCase(java.util.Locale.ROOT)
+        .replace("*", "%").replace("?", "_")
+      s"""SELECT $qid AS qid, term FROM (
+         |    SELECT term FROM dfp WHERE term LIKE '$p'
+         |    ORDER BY term LIMIT ${graft.query.QueryDsl.MaxExpansions})""".stripMargin
+    }
+    expansionScored(s"exp AS (${selects.mkString("\n  UNION ALL\n")})")
+  }
+
+  /** ES search_after oracle — the DELIBERATELY different formulation:
+    * the oracle ranks the full scored set with a window and slices
+    * ranks (k, 2k], where the engine restricts by the page-1 cursor
+    * tuple and runs an independent bounded top-k (no offset sort).
+    * Identical output iff the engine's cursor arithmetic (strict
+    * tuple-after on score desc, doc_id asc) is exact. */
+  private def ftSearchAfter: String = {
+    val pairs = SparkEntry.SearchAfterQuerySet.flatMap { case (qid, text) =>
+      val ts = CodeTokenizer.queryTerms(text)
+      ts.map(t => s"($qid, '$t', ${ts.size})")
+    }
+    val k = cfg.topK
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |q(qid, term, n_terms) AS (VALUES ${pairs.mkString(", ")}),
+       |wts AS (
+       |  SELECT q.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+       |       FROM sc)
+       |SELECT qid, (r - $k)::BIGINT AS "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE r > $k AND r <= ${2 * k} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** ES stats-agg oracle: count/min/max/sum of n_chars over distinct
+    * matching docs; avg = sum/count with both sides exactly
+    * represented, so the IEEE division matches the engine bit-for-bit. */
+  private def ftStatsAgg: String = {
+    val pairs = SparkEntry.StatsAggQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |matched AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term)
+       |SELECT m.qid, count(*)::BIGINT AS doc_count,
+       |  min(d.n_chars) AS min_v, max(d.n_chars) AS max_v,
+       |  sum(d.n_chars)::BIGINT AS sum_v,
+       |  printf('%.9f', sum(d.n_chars)::BIGINT::DOUBLE / count(*)::BIGINT) AS avg_v
+       |FROM matched m JOIN documents d ON m.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** ES multi_match best_fields oracle: each field scores with its own
+    * postings/df/avgdl (term-ascending fold per field, the shared
+    * discipline), combined score = max over fields via UNION ALL +
+    * max() — the engine's union + max aggregation, bit-equal. */
+  private def ftMultiMatch: String = {
+    val pairs = SparkEntry.MultiMatchQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |toks2 AS (SELECT doc_id, ${CodeTokenizer.sqlTokenArray("source")} AS tokens FROM documents),
+       |tokl2 AS (SELECT doc_id, len(tokens)::BIGINT AS doclen, unnest(tokens) AS term FROM toks2),
+       |post2 AS (SELECT term, doc_id, doclen, count(*) AS tf FROM tokl2 GROUP BY 1, 2, 3),
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |stats2 AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks2),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |dfp2 AS (SELECT term, count(*) AS df FROM post2 GROUP BY 1),
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |w1 AS (
+       |  SELECT q.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |w2 AS (
+       |  SELECT q.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post2 p JOIN q ON p.term = q.term JOIN dfp2 d ON p.term = d.term
+       |  CROSS JOIN stats2 s),
+       |sc1 AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM w1 GROUP BY 1, 2),
+       |sc2 AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM w2 GROUP BY 1, 2),
+       |best AS (
+       |  SELECT qid, doc_id, max(score) AS score
+       |  FROM (SELECT * FROM sc1 UNION ALL SELECT * FROM sc2) GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM best)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** ES histogram-agg oracle: exact integer floor-bucketing
+    * (v - v % interval), min_doc_count=0 gap fill via inclusive
+    * generate_series over each query's [min, max] key span (DuckDB
+    * generate_series is end-inclusive, like Spark sequence — NOT
+    * range()). */
+  private def ftHistogramAgg: String = {
+    val pairs = SparkEntry.HistogramQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    val i = SparkEntry.HistogramInterval
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term),
+       |occ AS (SELECT m.qid, d.n_chars - (d.n_chars % $i) AS key, count(*) AS doc_count
+       |        FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2),
+       |bounds AS (SELECT qid, min(key) AS lo, max(key) AS hi FROM occ GROUP BY 1),
+       |span AS (SELECT qid, unnest(generate_series(lo, hi, $i)) AS key FROM bounds)
+       |SELECT s.qid, s.key::BIGINT AS key, coalesce(o.doc_count, 0)::BIGINT AS doc_count
+       |FROM span s LEFT JOIN occ o ON s.qid = o.qid AND s.key = o.key
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** ES cardinality-agg oracle: exact distinct count of source over
+    * the matching set (the engine's documented exact formulation). */
+  private def ftCardinalityAgg: String = {
+    val pairs = SparkEntry.HistogramQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term)
+       |SELECT m.qid, count(DISTINCT d.source) AS cardinality
+       |FROM m JOIN documents d ON m.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** ES sub-aggregation-tree oracle: terms buckets with nested
+    * count/sum/avg — avg printed %.9f (ratio of small ints; the
+    * stats-agg discipline). */
+  private def ftTermsStats: String = {
+    val pairs = SparkEntry.TermsAggQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term),
+       |b AS (SELECT m.qid, d.source AS bucket, count(*) AS cnt,
+       |        sum(d.n_chars)::BIGINT AS sum_v
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2),
+       |rk AS (SELECT qid, bucket, cnt, sum_v,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, bucket) AS "rank"
+       |       FROM b)
+       |SELECT qid, "rank", bucket, cnt, sum_v,
+       |  printf('%.9f', sum_v::DOUBLE / cnt) AS avg_v
+       |FROM rk WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** ES percentiles oracle: DuckDB quantile_cont == Spark percentile
+    * (both the R-7/type-7 linear-interpolation estimator); quarter
+    * percentiles keep interpolation fractions dyadic so the doubles
+    * are exact on both engines. */
+  private def ftPercentiles: String = {
+    val pairs = SparkEntry.HistogramQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term),
+       |ps AS (SELECT m.qid,
+       |         quantile_cont(d.n_chars, [0.25, 0.5, 0.75]) AS l
+       |       FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1)
+       |SELECT qid, printf('%.4f', l[1]) AS p25, printf('%.4f', l[2]) AS p50,
+       |  printf('%.4f', l[3]) AS p75
+       |FROM ps ORDER BY qid""".stripMargin
+  }
+
+  /** ES significant_terms oracle: JLH = (fgp - bgp) * (fgp / bgp) with
+    * the identical IEEE expression order as the engine; fgp > bgp
+    * buckets only; rank score desc, bucket asc. */
+  private def ftSigTerms: String = {
+    val pairs = SparkEntry.TermsAggQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term),
+       |fg AS (SELECT m.qid, d.lang AS bucket, count(*) AS fg_count
+       |       FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2),
+       |fgs AS (SELECT qid, count(*) AS fg_size FROM m GROUP BY 1),
+       |bg AS (SELECT lang AS bucket, count(*) AS bg_count FROM documents GROUP BY 1),
+       |bgs AS (SELECT count(*) AS bg_size FROM documents),
+       |sc AS (
+       |  SELECT fg.qid, fg.bucket, fg.fg_count,
+       |    fg.fg_count::DOUBLE / fgs.fg_size AS fgp,
+       |    bg.bg_count::DOUBLE / bgs.bg_size AS bgp
+       |  FROM fg JOIN fgs ON fg.qid = fgs.qid JOIN bg ON fg.bucket = bg.bucket
+       |  CROSS JOIN bgs),
+       |scored AS (
+       |  SELECT qid, bucket, fg_count, (fgp - bgp) * (fgp / bgp) AS score
+       |  FROM sc WHERE fgp > bgp),
+       |rk AS (SELECT qid, bucket, fg_count, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, bucket) AS "rank"
+       |       FROM scored)
+       |SELECT qid, "rank", bucket, fg_count, printf('%.9f', score) AS score
+       |FROM rk WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** ES date_histogram oracle (calendar_interval=day): per-day counts
+    * over matching events with generate_series day gap fill (DuckDB
+    * generate_series over dates is end-inclusive, like Spark
+    * sequence). */
+  private def ftDateHistogram: String = {
+    val pairs = SparkEntry.DateHistogramQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""WITH etoks AS (SELECT event_id AS doc_id, ${CodeTokenizer.sqlTokenArray("event_type")} AS tokens FROM events),
+       |etokl AS (SELECT doc_id, unnest(tokens) AS term FROM etoks),
+       |epost AS (SELECT term, doc_id FROM etokl GROUP BY 1, 2),
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM epost p JOIN q ON p.term = q.term),
+       |occ AS (SELECT m.qid, date_trunc('day', e.ts)::DATE AS key, count(*) AS doc_count
+       |        FROM m JOIN events e ON m.doc_id = e.event_id GROUP BY 1, 2),
+       |bounds AS (SELECT qid, min(key) AS lo, max(key) AS hi FROM occ GROUP BY 1),
+       |span AS (SELECT qid, unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP, INTERVAL 1 DAY))::DATE AS key
+       |         FROM bounds)
+       |SELECT s.qid, strftime(s.key, '%Y-%m-%d') AS day,
+       |  coalesce(o.doc_count, 0)::BIGINT AS doc_count
+       |FROM span s LEFT JOIN occ o ON s.qid = o.qid AND s.key = o.key
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** ES sort-by-field oracle: matching docs ranked by (n_chars desc,
+    * doc_id asc) — a window formulation, deliberately different from
+    * the engine's bounded top-k aggregation. */
+  private def ftSortTopk: String = {
+    val pairs = SparkEntry.HistogramQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term),
+       |rk AS (SELECT m.qid, m.doc_id, d.n_chars AS sort_v,
+       |         row_number() OVER (PARTITION BY m.qid ORDER BY d.n_chars DESC, m.doc_id) AS r
+       |       FROM m JOIN documents d ON m.doc_id = d.doc_id)
+       |SELECT qid, r::BIGINT AS "rank", doc_id, sort_v
+       |FROM rk WHERE r <= ${cfg.topK} ORDER BY qid, r""".stripMargin
+  }
+
   /** ES more_like_this oracle: top tf*idf source-doc terms (tf >=
     * MltMinTf, df >= MltMinDf, ties term-asc) as a disjunction, source
     * doc excluded. The interest product mirrors the engine: BIGINT tf *
@@ -316,6 +561,45 @@ object OracleSql {
          |      row_number() OVER (PARTITION BY qid ORDER BY interest DESC, term) AS r
          |    FROM src) WHERE r <= $MltMaxTerms)""".stripMargin
     expansionScored(expCte, extraWhere = "\n  WHERE p.doc_id != e.src_doc")
+  }
+
+  /** ES range/filter-context oracle: full-corpus BM25 (filter context
+    * never rescores), hits restricted to the structured predicate. */
+  private def ftRange: String = {
+    val pairs = SparkEntry.RangeQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    val pred = s"lang = '${SparkEntry.RangeLang}' AND n_chars " +
+      s"BETWEEN ${SparkEntry.RangeLo} AND ${SparkEntry.RangeHi}"
+    val expCte =
+      s"""q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+         |allowed AS (SELECT doc_id FROM documents WHERE $pred),
+         |exp AS (SELECT qid, term FROM q)""".stripMargin
+    expansionScored(expCte,
+      extraWhere = "\n  WHERE p.doc_id IN (SELECT doc_id FROM allowed)")
+  }
+
+  /** ES match_phrase_prefix oracle (slop 0): candidates via m-gram
+    * containment where the last gram slot joins the capped
+    * lexicographic prefix expansion (the SAME deliberately-different
+    * formulation vs the engine's positional path as ftPhrase); scoring
+    * over the exact leading terms via the shared scaffold. */
+  private def ftPhrasePrefix: String = {
+    val analyzed = SparkEntry.PhrasePrefixQuerySet.map { case (qid, text) =>
+      val ts = CodeTokenizer.tokenize(text).toSeq
+      require(ts.size >= 2, s"phrase-prefix query $qid needs >= 2 tokens")
+      (qid, ts.init, ts.last)
+    }
+    val candSelects = analyzed.map { case (qid, exact, p) =>
+      val m = exact.length + 1
+      val gram = (0 until m).map(j => s"tokens[i+$j]").mkString(" || ' ' || ")
+      s"""SELECT DISTINCT $qid AS qid, doc_id FROM toks, (
+         |    SELECT term FROM dfp WHERE term LIKE '$p%'
+         |    ORDER BY term LIMIT ${graft.query.QueryDsl.MaxExpansions}) e
+         |  WHERE list_contains(list_transform(range(1, greatest(len(tokens) - $m + 2, 1)),
+         |    i -> $gram), '${exact.mkString(" ")} ' || e.term)""".stripMargin
+    }
+    phraseScaffold(analyzed.map { case (qid, exact, _) => (qid, exact) }, candSelects)
   }
 
   /** ES terms-agg (facet) oracle: distinct matching docs per query,
@@ -843,6 +1127,19 @@ object OracleSql {
     "ft_mlt_topk"         -> ftMlt,
     "ft_terms_agg"        -> ftTermsAgg,
     "ft_highlight"        -> ftHighlight,
+    "ft_range_topk"       -> ftRange,
+    "ft_phrase_prefix"    -> ftPhrasePrefix,
+    "ft_wildcard_topk"    -> ftWildcard,
+    "ft_search_after"     -> ftSearchAfter,
+    "ft_stats_agg"        -> ftStatsAgg,
+    "ft_multi_match"      -> ftMultiMatch,
+    "ft_histogram_agg"    -> ftHistogramAgg,
+    "ft_cardinality_agg"  -> ftCardinalityAgg,
+    "ft_sort_topk"        -> ftSortTopk,
+    "ft_date_histogram"   -> ftDateHistogram,
+    "ft_terms_stats"      -> ftTermsStats,
+    "ft_percentiles_agg"  -> ftPercentiles,
+    "ft_sig_terms"        -> ftSigTerms,
     "ing_docmap"          -> ingDocmap,
     "code_docmap"         -> codeDocmap,
     "code_ft_topk"        -> ftBm25(srcCte = codePostCte),

@@ -292,7 +292,16 @@ object SparkEntry {
     QueryDsl.BoolQuery(4, filter = Seq("data"), should = Seq("stream", "window")),
     QueryDsl.BoolQuery(5, must = Seq("spark", "fast"), should = Seq("zzznotfound")),
     QueryDsl.BoolQuery(6, must = Seq("zzznotfound"), should = Seq("table")),
-    QueryDsl.BoolQuery(7, must = Seq("sparkFastQuery"), mustNot = Seq("zzznotfound")))
+    QueryDsl.BoolQuery(7, must = Seq("sparkFastQuery"), mustNot = Seq("zzznotfound")),
+    // explicit minimum_should_match: 2-of-3 shoulds; and msm=2 WITH a
+    // must (overrides the would-be-0 default); msm above the should
+    // count matches nothing
+    QueryDsl.BoolQuery(8, should = Seq("spark", "fast", "table"),
+      minimumShouldMatch = Some(2)),
+    QueryDsl.BoolQuery(9, must = Seq("data"), should = Seq("stream", "window", "table"),
+      minimumShouldMatch = Some(2)),
+    QueryDsl.BoolQuery(10, should = Seq("dup", "table"),
+      minimumShouldMatch = Some(3)))
 
   /** ES bool query (must scores+requires, should scores, filter
     * requires without scoring, must_not excludes): one postings pass,
@@ -328,6 +337,172 @@ object SparkEntry {
     QueryDsl.fuzzyTopK(s, ensureIndex(s, dir), FuzzyQuerySet, cfg = IndexCfg)
       .select(col("qid"), col("rank"), col("doc_id"),
         format_string("%.4f", col("score")).as("score"))
+
+  /** Wildcard query set: infix gap, leading wildcard (the full-dict
+    * scan case), single-char hole, absent pattern, trailing gap. */
+  val WildcardQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "ta*le", 2 -> "*ark", 3 -> "d?p", 4 -> "zz*q", 5 -> "qu*y")
+
+  /** ES wildcard query served from the segment index: term-dictionary
+    * expansion (* / ?, lexicographic-first 50) through exact WAND —
+    * rewrite=scoring_boolean semantics, same discipline as prefix. */
+  private def qFtWildcard(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.wildcardTopK(s, ensureIndex(s, dir), WildcardQuerySet, cfg = IndexCfg)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** search_after query set: hot multi-term, hot single term, rare
+    * term, absent term (no page-1 hits -> no cursor -> no page 2). */
+  val SearchAfterQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "table", 2 -> "spark fast query", 3 -> "dup", 4 -> "zzznotfound")
+
+  /** ES search_after (deep pagination): page 2 = bounded top-k of the
+    * scored set strictly after page 1's last hit in (score desc,
+    * doc_id asc) — each page an independent bounded aggregation, never
+    * a from+size offset sort. Page-1 cursors are <= one row per query
+    * (bounded driver collect, exactly the sort values an ES client
+    * echoes back). */
+  private def qFtSearchAfter(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val page1 = BM25.topK(s, docs, col("doc_id"), col("text"), SearchAfterQuerySet)
+    val cursors = page1.select("qid", "rank", "doc_id", "score").collect()
+      .groupBy(_.getInt(0)).toSeq.map { case (qid, rows) =>
+        val last = rows.maxBy(_.getLong(1))
+        (qid, last.getDouble(3), last.getLong(2))
+      }
+    QueryDsl.searchAfterTopK(s, docs, col("doc_id"), col("text"),
+      SearchAfterQuerySet, cursors)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+  }
+
+  /** Stats-agg query set mirrors the terms-agg probes (multi-term, hot,
+    * absent, rare). */
+  val StatsAggQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "spark fast query", 2 -> "table", 3 -> "zzznotfound", 4 -> "dup")
+
+  /** ES stats aggregation over matching docs: count/min/max/sum of
+    * n_chars per query, avg = sum/count (deterministic IEEE division of
+    * exactly-represented values on both engines). */
+  private def qFtStatsAgg(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.statsAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      StatsAggQuerySet, col("n_chars"))
+      .select(col("qid"), col("doc_count"), col("min_v"), col("max_v"),
+        col("sum_v"), format_string("%.9f", col("avg_v")).as("avg_v"))
+
+  /** match_phrase_prefix query set: LAST whitespace token is the prefix
+    * seed, leading tokens match exactly in order — common continuation,
+    * rare continuation, hot pair, absent prefix (zero hits), 3-token. */
+  val PhrasePrefixQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "spark fa", 2 -> "data stre", 3 -> "table val",
+    4 -> "hash zzz", 5 -> "dup tab", 6 -> "spark fast qu")
+
+  /** ES match_phrase_prefix from the positional index: exact leading
+    * tokens + capped term-dict expansion of the last, adjacency via the
+    * positional machinery; scores over the exact terms. */
+  private def qFtPhrasePrefix(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.phrasePrefixTopK(s, ensureIndex(s, dir), PhrasePrefixQuerySet,
+      cfg = IndexCfg)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** Range/filter-context query set + predicate bounds: the ES "search
+    * within a category and size window" staple. */
+  val RangeQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "table", 2 -> "spark fast query", 3 -> "dup", 4 -> "zzznotfound")
+  val RangeLang = "en"
+  val RangeLo = 150L
+  val RangeHi = 450L
+
+  /** ES bool { must: match, filter: [term lang, range n_chars] }:
+    * full-corpus BM25 scores (filter context never rescores), hits
+    * restricted to docs passing the structured predicate. */
+  private def qFtRange(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.filteredTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      RangeQuerySet,
+      col("lang") === RangeLang && col("n_chars").between(RangeLo, RangeHi))
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** multi_match query set: a source-field token + text terms (the
+    * best_fields cross-field staple), text-only, source-only, absent. */
+  val MultiMatchQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "src3 table", 2 -> "spark fast query", 3 -> "src7", 4 -> "zzznotfound")
+
+  /** ES multi_match best_fields over (text, source): each field scores
+    * with its own postings/df/avgdl, combined score = max over fields
+    * (tie_breaker=0, the ES default). */
+  private def qFtMultiMatch(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.multiMatchTopK(s, tbl(s, dir, "documents"), col("doc_id"),
+      Seq(col("text"), col("source")), MultiMatchQuerySet)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** Histogram query set + interval: multi-term, hot term, rare term,
+    * absent (no buckets at all). */
+  val HistogramQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "spark fast query", 2 -> "table", 3 -> "dup", 4 -> "zzznotfound")
+  val HistogramInterval = 100L
+
+  /** ES histogram aggregation over matching docs: n_chars in
+    * fixed-interval buckets, min_doc_count=0 gap fill between each
+    * query's min and max occupied key (the ES default). */
+  private def qFtHistogramAgg(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.histogramAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      HistogramQuerySet, col("n_chars"), HistogramInterval)
+
+  /** ES cardinality aggregation over matching docs: exact distinct
+    * sources per query (deviation documented at the operator: ES is
+    * HLL-approximate above precision_threshold; the corpus-scale sketch
+    * path is q_approx_distinct). */
+  private def qFtCardinalityAgg(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.cardinalityAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      HistogramQuerySet, col("source"))
+
+  /** ES sort-by-field: hits of a match query ranked by (n_chars desc,
+    * doc_id asc) — no scoring in the plan (track_scores=false). */
+  private def qFtSortTopk(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.sortTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      HistogramQuerySet, col("n_chars"))
+
+  /** ES sub-aggregation tree: terms buckets on source with nested
+    * count/sum/avg of n_chars — one shuffle for the whole tree. */
+  private def qFtTermsStats(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.termsStatsAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      TermsAggQuerySet, col("source"), col("n_chars"))
+      .select(col("qid"), col("rank"), col("bucket"), col("cnt"), col("sum_v"),
+        format_string("%.9f", col("avg_v")).as("avg_v"))
+
+  /** ES percentiles aggregation (exact type-7 formulation; ES's
+    * t-digest approximation documented at the operator): quarter
+    * percentiles of n_chars over matching docs. */
+  private def qFtPercentiles(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.percentilesAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      HistogramQuerySet, col("n_chars"))
+      .select(col("qid"),
+        format_string("%.4f", col("p25")).as("p25"),
+        format_string("%.4f", col("p50")).as("p50"),
+        format_string("%.4f", col("p75")).as("p75"))
+
+  /** ES significant_terms on lang over matching docs: JLH-scored
+    * foreground-vs-background lift, fgPct > bgPct buckets only. */
+  private def qFtSigTerms(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.significantTermsAgg(s, tbl(s, dir, "documents"), col("doc_id"),
+      col("text"), TermsAggQuerySet, col("lang"))
+      .select(col("qid"), col("rank"), col("bucket"), col("fg_count"),
+        format_string("%.9f", col("score")).as("score"))
+
+  /** date_histogram query set over the events stream: two-type match,
+    * single type, absent type. */
+  val DateHistogramQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "click purchase", 2 -> "error", 3 -> "zzznotfound")
+
+  /** ES date_histogram (calendar_interval=day) over matching events:
+    * per-day counts, min_doc_count=0 gap fill across each query's
+    * occupied day span. */
+  private def qFtDateHistogram(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.dateHistogramAgg(s, tbl(s, dir, "events"), col("event_id"),
+      col("event_type"), DateHistogramQuerySet, col("ts"))
 
   /** Terms-agg query set: multi-term match, hot single term, absent
     * term (zero buckets), rare term. */
@@ -902,6 +1077,19 @@ object SparkEntry {
     "ft_mlt_topk"         -> (qFtMlt _),
     "ft_terms_agg"        -> (qFtTermsAgg _),
     "ft_highlight"        -> (qFtHighlight _),
+    "ft_range_topk"       -> (qFtRange _),
+    "ft_phrase_prefix"    -> (qFtPhrasePrefix _),
+    "ft_wildcard_topk"    -> (qFtWildcard _),
+    "ft_search_after"     -> (qFtSearchAfter _),
+    "ft_stats_agg"        -> (qFtStatsAgg _),
+    "ft_multi_match"      -> (qFtMultiMatch _),
+    "ft_histogram_agg"    -> (qFtHistogramAgg _),
+    "ft_cardinality_agg"  -> (qFtCardinalityAgg _),
+    "ft_sort_topk"        -> (qFtSortTopk _),
+    "ft_date_histogram"   -> (qFtDateHistogram _),
+    "ft_terms_stats"      -> (qFtTermsStats _),
+    "ft_percentiles_agg"  -> (qFtPercentiles _),
+    "ft_sig_terms"        -> (qFtSigTerms _),
     "ing_docmap"          -> (qIngDocmap _),
     "code_docmap"         -> (qCodeDocmap _),
     "code_ft_topk"        -> (qCodeFtTopk _),

@@ -170,29 +170,37 @@ object Main {
   }
 
   /** `query` argument grammar:
-    * `[--phrase|--prefix|--fuzzy] [--slop s] <text> [k]`.
+    * `[--phrase|--phrase-prefix|--prefix|--fuzzy|--wildcard] [--slop s]
+    * <text> [k]`.
     * Phrase mode serves ES match_phrase (ordered adjacency; slop relaxes
     * to ordered proximity) from the positional index — the capability
     * the reference gets from its ES index's full query DSL
     * (/root/reference/ElasticSearchPostgreSQLMigrationTool.csproj:32)
     * and that layout v3 exists to serve; without this flag the engine's
     * marquee ES-parity feature was benchable but not operable.
-    * Prefix/fuzzy modes serve the DSL's term-dictionary expansions
+    * Phrase-prefix serves ES match_phrase_prefix (autocomplete: exact
+    * leading tokens + capped expansion of the last). Prefix / fuzzy /
+    * wildcard modes serve the DSL's term-dictionary expansions
     * ([[graft.query.QueryDsl]]) through the same WAND handle. */
   final case class QueryArgs(text: String, k: Option[Int], phrase: Boolean, slop: Int,
-                             prefix: Boolean = false, fuzzy: Boolean = false)
+                             prefix: Boolean = false, fuzzy: Boolean = false,
+                             wildcard: Boolean = false, phrasePrefix: Boolean = false)
 
   def parseQueryArgs(rest: List[String]): QueryArgs = {
     var phrase = false
     var slop = 0
     var prefix = false
     var fuzzy = false
+    var wildcard = false
+    var phrasePrefix = false
     val pos = scala.collection.mutable.ListBuffer.empty[String]
     var it = rest
     while (it.nonEmpty) it = it match {
       case "--phrase" :: t => phrase = true; t
+      case "--phrase-prefix" :: t => phrasePrefix = true; t
       case "--prefix" :: t => prefix = true; t
       case "--fuzzy" :: t => fuzzy = true; t
+      case "--wildcard" :: t => wildcard = true; t
       case "--slop" :: v :: t => slop = v.toInt; t
       case "--slop" :: Nil =>
         throw new IllegalArgumentException("--slop needs a value")
@@ -205,24 +213,31 @@ object Main {
     require(pos.size <= 2,
       s"query takes <text> [k], got extra args: ${pos.drop(2).mkString(" ")} " +
         "(quote multi-word text)")
-    require(slop == 0 || phrase, "--slop requires --phrase")
+    require(slop == 0 || phrase || phrasePrefix, "--slop requires --phrase/--phrase-prefix")
     require(slop >= 0, s"slop must be >= 0, got $slop")
-    require(Seq(phrase, prefix, fuzzy).count(identity) <= 1,
-      "--phrase, --prefix and --fuzzy are mutually exclusive")
-    QueryArgs(pos.head, pos.lift(1).map(_.toInt), phrase, slop, prefix, fuzzy)
+    require(Seq(phrase, prefix, fuzzy, wildcard, phrasePrefix).count(identity) <= 1,
+      "--phrase, --phrase-prefix, --prefix, --fuzzy and --wildcard are mutually exclusive")
+    QueryArgs(pos.head, pos.lift(1).map(_.toInt), phrase, slop, prefix, fuzzy,
+      wildcard, phrasePrefix)
   }
 
-  /** Serve one CLI query — WAND top-k, phrase/proximity, prefix or
-    * fuzzy — through the process-level serving handles. */
+  /** Serve one CLI query — WAND top-k, phrase/proximity, phrase-prefix,
+    * prefix, fuzzy or wildcard — through the process-level serving
+    * handles. */
   def runQuery(spark: SparkSession, indexDir: String, a: QueryArgs,
                cfg: EngineConfig): DataFrame = {
     val c = a.k.map(k => cfg.copy(topK = k)).getOrElse(cfg)
     if (a.phrase)
       graft.query.BM25.phraseTopKIndexed(spark, indexDir, Seq(1 -> a.text), c, a.slop)
+    else if (a.phrasePrefix)
+      graft.query.QueryDsl.phrasePrefixTopK(spark, indexDir, Seq(1 -> a.text),
+        cfg = c, slop = a.slop)
     else if (a.prefix)
       graft.query.QueryDsl.prefixTopK(spark, indexDir, Seq(1 -> a.text), cfg = c)
     else if (a.fuzzy)
       graft.query.QueryDsl.fuzzyTopK(spark, indexDir, Seq(1 -> a.text), cfg = c)
+    else if (a.wildcard)
+      graft.query.QueryDsl.wildcardTopK(spark, indexDir, Seq(1 -> a.text), cfg = c)
     else Wand.topK(spark, indexDir, Seq(1 -> a.text), c)
   }
 

@@ -353,7 +353,13 @@ object BM25 {
     * partial top-k heaps, k rows per partition per qid on the shuffle) —
     * NOT a per-qid window, which would sort every candidate of a hot
     * query inside one task (round-1 scale-killer; guarded in PlanSpec). */
-  def scoreAndRank(weighted: DataFrame, k: Int, conjunctive: Boolean = false): DataFrame = {
+  def scoreAndRank(weighted: DataFrame, k: Int, conjunctive: Boolean = false): DataFrame =
+    rankTopK(scored(weighted, conjunctive), k)
+
+  /** The pre-rank scored set (qid, doc_id, score[, matched, n_terms]) —
+    * the distributed aggregation scoreAndRank ranks, exposed so cursor
+    * paths (search_after) can restrict it before the bounded top-k. */
+  def scored(weighted: DataFrame, conjunctive: Boolean = false): DataFrame = {
     val grouped = weighted
       .groupBy("qid", "doc_id")
       .agg(
@@ -363,10 +369,8 @@ object BM25 {
           (acc, x) => acc + x.getField("w")).as("score"),
         count(lit(1)).as("matched"),
         first(col("n_terms"), ignoreNulls = true).as("n_terms"))
-    val scores =
-      if (conjunctive) grouped.filter(col("matched") === col("n_terms"))
-      else grouped
-    rankTopK(scores, k)
+    if (conjunctive) grouped.filter(col("matched") === col("n_terms"))
+    else grouped
   }
 
   /** Rank (qid, doc_id, score) rows: bounded per-qid top-k aggregation

@@ -349,6 +349,26 @@ object Wand {
         .orderBy("term").limit(maxExpansions)
         .collect().map(_.getString(0)).toSeq
 
+    /** Index terms matching an ES wildcard pattern (`*` = any sequence
+      * incl. empty, `?` = exactly one char), lexicographic-first capped
+      * at maxExpansions — the same term-dict order and cap discipline as
+      * [[expandPrefix]]. ES wildcard queries are NOT analyzed (caller
+      * lowercases), and a leading wildcard costs a full term-dictionary
+      * scan in Lucene too — here that scan is the cached (term, df)
+      * metadata table, never posting payloads, so the cost class
+      * matches ES's own warning for leading wildcards. */
+    def expandWildcard(pattern: String, maxExpansions: Int): Seq[String] = {
+      val rx = "^" + pattern.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if c.isLetterOrDigit => c.toString
+        case c => java.util.regex.Pattern.quote(c.toString)
+      } + "$"
+      dfTable.filter(col("term").rlike(rx))
+        .orderBy("term").limit(maxExpansions)
+        .collect().map(_.getString(0)).toSeq
+    }
+
     /** Index terms within classic Levenshtein distance <= maxDist of
       * `term`, highest-df first (ES fuzzy rewrite
       * top_terms_blended_freqs keeps the highest-frequency expansions),

@@ -189,6 +189,12 @@ class MainSpec extends SparkSuite {
       Main.parseQueryArgs(List("--phrase", "--prefix", "x"))) // modes are exclusive
     assertThrows[IllegalArgumentException](
       Main.parseQueryArgs(List("--prefix", "--fuzzy", "x")))
+    assert(Main.parseQueryArgs(List("--wildcard", "cli*se")) ===
+      Main.QueryArgs("cli*se", None, phrase = false, slop = 0, wildcard = true))
+    assert(Main.parseQueryArgs(List("--phrase-prefix", "--slop", "1", "a b")) ===
+      Main.QueryArgs("a b", None, phrase = false, slop = 1, phrasePrefix = true))
+    assertThrows[IllegalArgumentException](
+      Main.parseQueryArgs(List("--wildcard", "--prefix", "x")))
   }
 
   test("CLI query serves phrase and proximity from the positional index (ES match_phrase operability)") {
@@ -229,6 +235,20 @@ class MainSpec extends SparkSuite {
         Main.QueryArgs("cliphras", None, phrase = false, slop = 0, fuzzy = true), cfg)
         .collect()
       assert(fuzz.length === 1 && fuzz.head.getLong(2) === 980001L)
+      // wildcard mode: infix gap over the term dictionary
+      val wild = Main.runQuery(spark, dir,
+        Main.QueryArgs("cli*rase", None, phrase = false, slop = 0, wildcard = true), cfg)
+        .collect()
+      assert(wild.length === 1 && wild.head.getLong(2) === 980001L)
+      // phrase-prefix mode: exact lead + expanded last token, adjacent
+      val pp = Main.runQuery(spark, dir,
+        Main.QueryArgs("alpha bet", None, phrase = false, slop = 0,
+          phrasePrefix = true), cfg).collect()
+      assert(pp.length === 1 && pp.head.getLong(2) === 980001L)
+      assert(Main.runQuery(spark, dir,
+        Main.QueryArgs("beta alp", None, phrase = false, slop = 0,
+          phrasePrefix = true), cfg).collect().isEmpty,
+        "match_phrase_prefix is order-sensitive")
     } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 

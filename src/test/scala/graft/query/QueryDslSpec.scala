@@ -166,6 +166,273 @@ class QueryDslSpec extends SparkSuite {
       "every matched token in the window is wrapped")
   }
 
+  test("match_phrase_prefix: exact leads + any expansion adjacent; order-sensitive; scored on exact terms") {
+    // docs 1 and 2 share doclen 3 and gamma tf 1, so their exact-term
+    // scores are equal by construction (the tie probe below)
+    val idx = indexOf(
+      1L -> "gamma ray burst",
+      2L -> "gamma rayon fabric",
+      3L -> "rayon gamma reversed",
+      4L -> "gamma alone raygun") // 'ray...' present but NOT adjacent after gamma
+    // 'gamma ra' matches docs 1 (ray) and 2 (rayon) — doc 3 reversed
+    // order and doc 4 non-adjacent raygun must not qualify
+    val r = hits(phrasePrefixTopK(spark, idx, Seq(1 -> "gamma ra"), cfg = cfg))
+    assert(r(1).map(_._1).toSet === Set(1L, 2L))
+    // scores use the EXACT terms only: both docs carry gamma tf=1 and
+    // equal doclen -> equal scores, rank ties doc_id-asc
+    assert(r(1).map(_._1) === Seq(1L, 2L))
+    assert(r(1)(0)._2 === r(1)(1)._2, "expansion terms do not score")
+    // absent prefix -> qid dropped; <2 tokens fails loud
+    assert(!hits(phrasePrefixTopK(spark, idx, Seq(2 -> "gamma zz"), cfg = cfg)).contains(2))
+    assertThrows[IllegalArgumentException](
+      phrasePrefixTopK(spark, idx, Seq(3 -> "gamma"), cfg = cfg))
+  }
+
+  test("filtered top-k: predicate restricts hits WITHOUT rescoring (ES filter context)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pred = col("lang") === "en"
+    val unfiltered = hits(BM25.topK(spark, docs, col("doc_id"), col("text"),
+      Seq(2 -> "table")))
+    val filtered = hits(filteredTopK(spark, docs, col("doc_id"), col("text"),
+      Seq(2 -> "table"), pred))
+    val enIds = docs.filter(pred).select("doc_id").as[Long].collect().toSet
+    assert(filtered(2).nonEmpty)
+    assert(filtered(2).forall { case (d, _) => enIds.contains(d) },
+      "every hit passes the predicate")
+    // scores come from INDEX-WIDE stats: any doc in both rankings
+    // carries the identical score
+    val unf = unfiltered(2).toMap
+    filtered(2).foreach { case (d, s) =>
+      if (unf.contains(d)) assert(s === unf(d), s"doc $d rescored under filter")
+    }
+    // the filter only REMOVES docs: filtered ranking == unfiltered
+    // ranking restricted to allowed docs (within the shared prefix
+    // depth k covers)
+    val expectPrefix = unfiltered(2).filter { case (d, _) => enIds.contains(d) }
+    assert(filtered(2).take(expectPrefix.size).map(_._1)
+      .startsWith(expectPrefix.map(_._1).take(filtered(2).size)))
+  }
+
+  test("highlight fetch joins as a broadcast over the docs scan (never a corpus shuffle)") {
+    val d = df(1L -> "alpha beta gamma", 2L -> "alpha delta")
+    val plan = highlightTopK(spark, d, col("doc_id"), col("text"), Seq(1 -> "alpha"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
+  test("wildcard: * spans any run, ? exactly one char, leading wildcard works, absent pattern drops qid") {
+    val idx = indexOf(
+      1L -> "table top",
+      2L -> "tale teller",
+      3L -> "tumble dry",
+      4L -> "stable mate")
+    // ta*le: table, tale (NOT stable — anchored at start; NOT tumble)
+    val r = hits(wildcardTopK(spark, idx, Seq(1 -> "ta*le"), cfg = cfg))
+    assert(r(1).map(_._1).toSet === Set(1L, 2L))
+    // t?le: exactly one hole — tale only, never table
+    val r2 = hits(wildcardTopK(spark, idx, Seq(2 -> "t?le"), cfg = cfg))
+    assert(r2(2).map(_._1) === Seq(2L))
+    // leading wildcard (*able: table, stable) — the full-dict-scan case
+    val r3 = hits(wildcardTopK(spark, idx, Seq(3 -> "*able"), cfg = cfg))
+    assert(r3(3).map(_._1).toSet === Set(1L, 4L))
+    // absent pattern: no expansion, qid dropped
+    assert(!hits(wildcardTopK(spark, idx, Seq(4 -> "zz*q"), cfg = cfg)).contains(4))
+  }
+
+  test("search_after: page 2 continues the exact (score desc, doc_id asc) order after the cursor, ties split correctly") {
+    // five docs with IDENTICAL score for 'alpha' (same tf, same doclen)
+    // -> ranking is pure doc_id-asc tie-break; k=2 pages walk the ids
+    val d = df(
+      1L -> "alpha one",
+      2L -> "alpha two",
+      3L -> "alpha six",
+      4L -> "alpha ten",
+      5L -> "alpha end")
+    val c2 = EngineConfig.default.copy(topK = 2)
+    val page1 = hits(BM25.topK(spark, d, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"), c2))
+    assert(page1(1).map(_._1) === Seq(1L, 2L))
+    val (cd, cs) = (page1(1).last._1, page1(1).last._2)
+    val page2 = hits(searchAfterTopK(spark, d, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"), Seq((1, cs, cd)), c2))
+    assert(page2(1).map(_._1) === Seq(3L, 4L), "tie split lands on doc_id > cursor")
+    // page 3 from page 2's cursor reaches the tail; one row left
+    val page3 = hits(searchAfterTopK(spark, d, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"), Seq((1, page2(1).last._2, page2(1).last._1)), c2))
+    assert(page3(1).map(_._1) === Seq(5L))
+    // a query with no cursor entry yields nothing
+    assert(!page2.contains(2))
+  }
+
+  test("bool: explicit minimum_should_match overrides the default, above-count matches nothing") {
+    val d = df(boolDocs: _*)
+    val r = hits(boolTopK(spark, d, col("doc_id"), col("text"), Seq(
+      // 2-of-3 shoulds: doc1 (beta+gamma... alpha+beta+gamma=3), doc2
+      // (alpha? no — shoulds are beta gamma delta): doc1 has beta+gamma,
+      // doc2 beta, doc3 delta, doc4 beta+delta
+      BoolQuery(1, should = Seq("beta", "gamma", "delta"),
+        minimumShouldMatch = Some(2)),
+      // msm=1 WITH a must: must alpha AND >= 1 should of (gamma, delta)
+      BoolQuery(2, must = Seq("alpha"), should = Seq("gamma", "delta"),
+        minimumShouldMatch = Some(1)),
+      // msm above the should count: nothing matches
+      BoolQuery(3, should = Seq("beta", "gamma"),
+        minimumShouldMatch = Some(3)))))
+    assert(r(1).map(_._1).toSet === Set(1L, 4L), "2-of-3 shoulds")
+    assert(r(2).map(_._1).toSet === Set(1L, 3L), "must + explicit msm=1")
+    assert(!r.contains(3), "msm above should count matches nothing")
+  }
+
+  test("multi_match best_fields: per-field stats, max combines, cross-field docs found") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta", "news"),
+      (2L, "alpha gamma", "blog"),
+      (3L, "delta beta", "news"),
+      (4L, "epsilon", "wiki")).toDF("doc_id", "text", "cat")
+    // 'news epsilon': doc4 matches via text (epsilon), docs 1,3 via cat
+    // (news) — a single-field match query on text finds only doc4
+    val r = hits(multiMatchTopK(spark, d, col("doc_id"),
+      Seq(col("text"), col("cat")), Seq(1 -> "news epsilon")))
+    assert(r(1).map(_._1).toSet === Set(1L, 3L, 4L))
+    // a term in BOTH fields scores max(field scores), not their sum:
+    // craft 'wiki' into text of doc 1 and cat of doc 4
+    val d2 = Seq(
+      (1L, "wiki wiki wiki", "news"),
+      (2L, "alpha", "wiki"),
+      (3L, "beta", "blog"),
+      (4L, "gamma", "misc")).toDF("doc_id", "text", "cat")
+    val single = hits(BM25.topK(spark, d2, col("doc_id"), col("text"), Seq(1 -> "wiki")))
+    val multi = hits(multiMatchTopK(spark, d2, col("doc_id"),
+      Seq(col("text"), col("cat")), Seq(1 -> "wiki")))
+    val textScore = single(1).toMap.apply(1L)
+    assert(multi(1).toMap.apply(1L) === textScore,
+      "doc matching one field keeps that field's exact score under best_fields")
+    assert(multi(1).map(_._1).toSet === Set(1L, 2L))
+  }
+
+  test("histogram agg: exact integer bucketing, min_doc_count=0 gap fill, per-query span") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha", 105L), (2L, "alpha", 12L), (3L, "alpha", 350L),
+      (4L, "beta", 205L), (5L, "gamma", 999L)).toDF("doc_id", "text", "n")
+    val r = histogramAgg(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha", 2 -> "beta", 3 -> "zz"), col("n"), 100L)
+      .collect().groupBy(_.getInt(0)).view
+      .mapValues(_.map(x => (x.getLong(1), x.getLong(2))).toSeq.sortBy(_._1)).toMap
+    // alpha spans 0..300: 0->1 (12), 100->1 (105), 200->0 (GAP), 300->1
+    assert(r(1) === Seq((0L, 1L), (100L, 1L), (200L, 0L), (300L, 1L)))
+    assert(r(2) === Seq((200L, 1L)), "single-bucket query has no gaps")
+    assert(!r.contains(3), "no matches -> no buckets")
+  }
+
+  test("date histogram: calendar-day buckets, empty days materialize at 0 inside the span") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click", java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+      (2L, "click", java.sql.Timestamp.valueOf("2024-03-01 23:59:59")),
+      (3L, "click", java.sql.Timestamp.valueOf("2024-03-04 00:00:01")),
+      (4L, "view",  java.sql.Timestamp.valueOf("2024-03-02 12:00:00")))
+      .toDF("event_id", "event_type", "ts")
+    val r = dateHistogramAgg(spark, docs, col("event_id"), col("event_type"),
+      Seq(1 -> "click", 2 -> "zz"), col("ts"))
+      .collect().map(x => (x.getString(1), x.getLong(2))).toSeq
+    assert(r === Seq(("2024-03-01", 2L), ("2024-03-02", 0L),
+      ("2024-03-03", 0L), ("2024-03-04", 1L)),
+      "two empty days inside the span materialize; days outside do not")
+  }
+
+  test("cardinality agg: exact distinct field count over the matching set") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha", "s1"), (2L, "alpha", "s2"), (3L, "alpha", "s1"),
+      (4L, "beta", "s3")).toDF("doc_id", "text", "src")
+    val r = cardinalityAgg(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha", 2 -> "alpha beta", 3 -> "zz"), col("src"))
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r === Map(1 -> 2L, 2 -> 3L))
+  }
+
+  test("sort top-k: field order desc with doc_id tie-break, k bounds, no scoring") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha", 50L), (2L, "alpha", 300L), (3L, "alpha", 300L),
+      (4L, "alpha", 120L), (5L, "beta", 999L)).toDF("doc_id", "text", "n")
+    val c2 = EngineConfig.default.copy(topK = 3)
+    val r = sortTopK(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"), col("n"), c2)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r === Seq((1L, 2L, 300L), (2L, 3L, 300L), (3L, 4L, 120L)),
+      "desc field order, equal keys tie doc_id-asc, k=3 cuts the tail")
+  }
+
+  test("stats agg: count/min/max/sum over distinct matching docs, avg = sum/count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", 10L),
+      (2L, "alpha alpha", 20L), // matches once despite tf 2
+      (3L, "beta", 40L),
+      (4L, "gamma", 100L)).toDF("doc_id", "text", "n")
+    val r = statsAgg(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha beta", 2 -> "gamma", 3 -> "zz"), col("n"))
+      .collect().map(x => x.getInt(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5))).toMap
+    assert(r(1) === ((3L, 10L, 40L, 70L, 70.0 / 3)))
+    assert(r(2) === ((1L, 100L, 100L, 100L, 100.0)))
+    assert(!r.contains(3), "no matching docs -> no row (ES: empty agg)")
+  }
+
+  test("terms sub-agg tree: nested metrics ride the bucket groupBy, rank by (count desc, key asc)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha", "s1", 10L), (2L, "alpha", "s1", 30L),
+      (3L, "alpha", "s2", 100L), (4L, "beta", "s3", 7L))
+      .toDF("doc_id", "text", "src", "n")
+    val r = termsStatsAgg(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"), col("src"), col("n"))
+      .collect().map(x => (x.getLong(1), x.getString(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5))).toSeq
+    assert(r === Seq((1L, "s1", 2L, 40L, 20.0), (2L, "s2", 1L, 100L, 100.0)))
+  }
+
+  test("percentiles: exact type-7 interpolation on quarter fractions") {
+    import spark.implicits._
+    // 5 values sorted: 10 20 30 40 50 -> p25 idx 1.0 = 20;
+    // 4 values 10 20 30 40 -> p25 idx 0.75 = 17.5, p50 = 25, p75 = 32.5
+    val docs = Seq(
+      (1L, "alpha", 30L), (2L, "alpha", 10L), (3L, "alpha", 50L),
+      (4L, "alpha", 20L), (5L, "alpha", 40L),
+      (6L, "beta", 40L), (7L, "beta", 10L), (8L, "beta", 30L), (9L, "beta", 20L))
+      .toDF("doc_id", "text", "n")
+    val r = percentilesAgg(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha", 2 -> "beta"), col("n"))
+      .collect().map(x => x.getInt(0) ->
+        (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1) === ((20.0, 30.0, 40.0)))
+    assert(r(2) === ((17.5, 25.0, 32.5)))
+  }
+
+  test("significant terms: JLH rewards lift, fgp <= bgp buckets drop, ranks score desc") {
+    import spark.implicits._
+    // corpus: 6 docs, s1 3/6 bg, s2 2/6, s3 1/6. 'alpha' matches docs
+    // 1,2,5 -> fg: s1 1/3 (== bg -> DROPPED), s2 1/3 > 2/6? equal ->
+    // dropped; s3 1/3 > 1/6 -> significant
+    val docs = Seq(
+      (1L, "alpha x", "s1"), (2L, "alpha y", "s2"), (3L, "beta", "s1"),
+      (4L, "beta", "s1"), (5L, "alpha z", "s3"), (6L, "beta", "s2"))
+      .toDF("doc_id", "text", "src")
+    val r = significantTermsAgg(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"), col("src"))
+      .collect().map(x => (x.getString(2), x.getLong(3), x.getDouble(4))).toSeq
+    // fgp = 1/3 for each bucket; bgp: s1 1/2, s2 1/3, s3 1/6 —
+    // only s3 has fgp > bgp; JLH = (1/3 - 1/6) * (1/3 / (1/6)) = 1/3
+    assert(r.map(_._1) === Seq("s3"))
+    assert(r.head._2 === 1L)
+    assert(math.abs(r.head._3 - 1.0 / 3) < 1e-12)
+  }
+
   test("mlt: tf/df thresholds select terms, source doc is excluded, absent doc yields nothing") {
     // 'widget' appears twice in doc 1 (tf>=2) and in 6 docs (df>=5);
     // 'gear' has tf 1 in doc 1 and df 2 — below both thresholds
