@@ -96,6 +96,9 @@ object Bench {
     "ft_stats_agg", "ft_multi_match", "ft_histogram_agg",
     "ft_cardinality_agg", "ft_sort_topk", "ft_date_histogram",
     "ft_terms_stats", "ft_percentiles_agg", "ft_sig_terms",
+    "ft_dismax_topk", "ft_boosting", "ft_constant_score", "ft_regexp_topk",
+    "ft_range_agg", "ft_top_hits", "ft_extended_stats", "ft_explain",
+    "ft_query_string", "ft_composite_agg", "ft_filters_agg",
     "ing_docmap", "code_docmap", "code_ft_topk",
     "code_wand_topk",
     "dd_exact", "dd_minhash_lsh", "dd_cluster",

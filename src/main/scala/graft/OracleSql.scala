@@ -471,6 +471,359 @@ object OracleSql {
   /** ES significant_terms oracle: JLH = (fgp - bgp) * (fgp / bgp) with
     * the identical IEEE expression order as the engine; fgp > bgp
     * buckets only; rank score desc, bucket asc. */
+  /** ES dis_max oracle: per-field scores exactly as ftMultiMatch (own
+    * postings/df/avgdl per field, term-ascending fold), tagged with the
+    * field index; combined = best + tie_breaker * (sum - best) with the
+    * sum folding in FIELD order — the engine's sorted (fld, score) fold
+    * is `sum(score ORDER BY fld)`, bit-equal. */
+  private def ftDisMax: String = {
+    val pairs = SparkEntry.MultiMatchQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    val tb = SparkEntry.DisMaxTieBreaker
+    s"""$postCte,
+       |toks2 AS (SELECT doc_id, ${CodeTokenizer.sqlTokenArray("source")} AS tokens FROM documents),
+       |tokl2 AS (SELECT doc_id, len(tokens)::BIGINT AS doclen, unnest(tokens) AS term FROM toks2),
+       |post2 AS (SELECT term, doc_id, doclen, count(*) AS tf FROM tokl2 GROUP BY 1, 2, 3),
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |stats2 AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks2),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |dfp2 AS (SELECT term, count(*) AS df FROM post2 GROUP BY 1),
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |w1 AS (
+       |  SELECT q.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |w2 AS (
+       |  SELECT q.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post2 p JOIN q ON p.term = q.term JOIN dfp2 d ON p.term = d.term
+       |  CROSS JOIN stats2 s),
+       |sc1 AS (SELECT qid, doc_id, 0 AS fld, sum(w ORDER BY term) AS score FROM w1 GROUP BY 1, 2),
+       |sc2 AS (SELECT qid, doc_id, 1 AS fld, sum(w ORDER BY term) AS score FROM w2 GROUP BY 1, 2),
+       |comb AS (
+       |  SELECT qid, doc_id,
+       |    max(score) + $tb * (sum(score ORDER BY fld) - max(score)) AS score
+       |  FROM (SELECT * FROM sc1 UNION ALL SELECT * FROM sc2) GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM comb)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** ES boosting-query oracle: positive match scored with the shared
+    * term-ascending fold; docs also matching the negative query keep
+    * eligibility with score * negative_boost (same IEEE multiply). */
+  private def ftBoosting: String = {
+    val pos = SparkEntry.BoostingQuerySet.flatMap { case (qid, p, _) =>
+      CodeTokenizer.queryTerms(p).map(t => s"($qid, '$t')")
+    }
+    val neg = SparkEntry.BoostingQuerySet.flatMap { case (qid, _, ng) =>
+      CodeTokenizer.queryTerms(ng).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |qp(qid, term) AS (VALUES ${pos.mkString(", ")}),
+       |qn(qid, term) AS (VALUES ${neg.mkString(", ")}),
+       |wts AS (
+       |  SELECT qp.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN qp ON p.term = qp.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |negm AS (SELECT DISTINCT qn.qid, p.doc_id FROM post p JOIN qn ON p.term = qn.term),
+       |dem AS (
+       |  SELECT sc.qid, sc.doc_id,
+       |    CASE WHEN negm.doc_id IS NOT NULL
+       |         THEN sc.score * ${SparkEntry.NegativeBoost} ELSE sc.score END AS score
+       |  FROM sc LEFT JOIN negm ON sc.qid = negm.qid AND sc.doc_id = negm.doc_id),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM dem)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** ES constant_score oracle: filter-context match-any, every hit
+    * scores exactly the boost, ranks tie-break doc_id asc. */
+  private def ftConstantScore: String = {
+    val pairs = SparkEntry.RangeQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term),
+       |rk AS (SELECT qid, doc_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY doc_id) AS "rank"
+       |       FROM m)
+       |SELECT qid, "rank", doc_id,
+       |  printf('%.4f', ${SparkEntry.ConstantScoreBoost}) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** ES regexp oracle: anchored full-term expansion
+    * (regexp_full_match — RE2 agrees with Java on the query subset),
+    * lexicographic-first cap, scored as a disjunction. */
+  private def ftRegexp: String = {
+    val selects = SparkEntry.RegexpQuerySet.map { case (qid, p0) =>
+      val p = p0.trim.replace("'", "''")
+      s"""SELECT $qid AS qid, term FROM (
+         |    SELECT term FROM dfp WHERE regexp_full_match(term, '$p')
+         |    ORDER BY term LIMIT ${graft.query.QueryDsl.MaxExpansions})""".stripMargin
+    }
+    expansionScored(s"exp AS (${selects.mkString("\n  UNION ALL\n")})")
+  }
+
+  /** ES range-agg oracle: the (query x range) grid is a VALUES literal;
+    * membership from-inclusive / to-exclusive with NULL = open end;
+    * empty buckets zero-fill via left join against the grid. */
+  private def ftRangeAgg: String = {
+    val pairs = SparkEntry.HistogramQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    def lit(o: Option[Long]) = o.map(_.toString).getOrElse("NULL::BIGINT")
+    val grid = for {
+      (qid, _) <- SparkEntry.HistogramQuerySet
+      ((lo, hi), i) <- SparkEntry.RangeAggRanges.zipWithIndex
+    } yield {
+      val key = s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"
+      s"($qid, $i, '$key', ${lit(lo)}, ${lit(hi)})"
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term),
+       |vals AS (SELECT m.qid, d.n_chars::BIGINT AS v
+       |         FROM m JOIN documents d ON m.doc_id = d.doc_id),
+       |grid(qid, ridx, key, lo, hi) AS (VALUES ${grid.mkString(", ")}),
+       |cnts AS (
+       |  SELECT g.qid, g.ridx, count(*) AS cnt
+       |  FROM vals v JOIN grid g ON v.qid = g.qid
+       |    AND (g.lo IS NULL OR v.v >= g.lo) AND (g.hi IS NULL OR v.v < g.hi)
+       |  GROUP BY 1, 2)
+       |SELECT g.qid, g.ridx::INT AS ridx, g.key,
+       |  coalesce(c.cnt, 0)::BIGINT AS doc_count
+       |FROM grid g LEFT JOIN cnts c ON g.qid = c.qid AND g.ridx = c.ridx
+       |ORDER BY g.qid, g.ridx""".stripMargin
+  }
+
+  /** ES top_hits oracle: shared match scoring, then a window
+    * partitioned by (qid, bucket) — the top hitsPerBucket docs inside
+    * each lang bucket. */
+  private def ftTopHits: String = {
+    val pairs = SparkEntry.TermsAggQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |wts AS (
+       |  SELECT q.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT sc.qid, d.lang AS bucket, sc.doc_id, sc.score,
+       |    row_number() OVER (PARTITION BY sc.qid, d.lang
+       |                       ORDER BY sc.score DESC, sc.doc_id) AS hit_rank
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+       |SELECT qid, bucket, hit_rank::BIGINT AS hit_rank, doc_id,
+       |  printf('%.4f', score) AS score
+       |FROM bk WHERE hit_rank <= ${SparkEntry.TopHitsPerBucket}
+       |ORDER BY qid, bucket, hit_rank""".stripMargin
+  }
+
+  /** ES extended_stats oracle: exact integer count/min/max/sum/sum_sq;
+    * avg, variance (ES population formula sum2/n - avg^2) and std_dev
+    * (sqrt of the clamped variance) as the same IEEE expressions the
+    * engine computes, over exactly-represented operands. */
+  private def ftExtendedStats: String = {
+    val pairs = SparkEntry.StatsAggQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term),
+       |base AS (
+       |  SELECT m.qid, count(*)::BIGINT AS doc_count,
+       |    min(d.n_chars) AS min_v, max(d.n_chars) AS max_v,
+       |    sum(d.n_chars)::BIGINT AS sum_v,
+       |    sum(d.n_chars::BIGINT * d.n_chars::BIGINT)::BIGINT AS sum_sq
+       |  FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1),
+       |derived AS (
+       |  SELECT *, sum_v::DOUBLE / doc_count AS avg_v FROM base),
+       |derived2 AS (
+       |  SELECT *, sum_sq::DOUBLE / doc_count - avg_v * avg_v AS variance FROM derived)
+       |SELECT qid, doc_count, min_v, max_v, sum_v, sum_sq,
+       |  printf('%.9f', avg_v) AS avg_v,
+       |  printf('%.9f', variance) AS variance,
+       |  printf('%.4f', sqrt(greatest(variance, 0.0))) AS std_dev
+       |FROM derived2 ORDER BY qid""".stripMargin
+  }
+
+  /** ES _explain oracle: the shared weight expression re-emitted per
+    * (term, doc) row for each query's rank-1 doc — tf, df, doclen, the
+    * idf component, and the full BM25 weight. */
+  private def ftExplain: String = {
+    val pairs = SparkEntry.ExplainQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |wts AS (
+       |  SELECT q.qid, p.term, p.doc_id, p.tf, d.df, p.doclen,
+       |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf, $wExpr AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |top1 AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+       |    FROM sc) WHERE r = 1)
+       |SELECT w.qid, w.doc_id, w.term, w.tf::BIGINT AS tf, w.df::BIGINT AS df,
+       |  w.doclen::BIGINT AS doclen,
+       |  printf('%.4f', w.idf) AS idf, printf('%.4f', w.w) AS w
+       |FROM wts w JOIN top1 t ON w.qid = t.qid AND w.doc_id = t.doc_id
+       |ORDER BY w.qid, w.term""".stripMargin
+  }
+
+  /** query_string oracle — compiled from the SAME
+    * [[graft.query.QueryDsl.parseQueryString]] parse as the engine (the
+    * shared-constants discipline): literal role rows as VALUES, prefix
+    * expansions as LIKE-limit selects over the term dictionary, the
+    * bool counter algebra, and phrase adjacency via the token-array
+    * n-gram EXISTS idiom; required-phrase counting and exclusion mirror
+    * the engine's req/excl joins. */
+  private def ftQueryString: String = {
+    import graft.query.QueryDsl
+    import graft.query.QueryDsl.{QsPhrase, QsPrefix, QsTerm}
+    val parsed = SparkEntry.QueryStringQuerySet.map { case (qid, s) =>
+      qid -> QueryDsl.parseQueryString(s)
+    }
+    val termRows = parsed.flatMap { case (qid, cls) =>
+      cls.flatMap {
+        case QsTerm(role, text) => CodeTokenizer.queryTerms(text).map(t => (qid, t, role))
+        case QsPhrase("must_not", _) => Nil
+        case QsPhrase(_, text) => CodeTokenizer.queryTerms(text).map(t => (qid, t, "must"))
+        case QsPrefix(_, _) => Nil
+      }
+    }.distinct
+    val nMust = termRows.filter(_._3 == "must").groupBy(_._1).view.mapValues(_.size).toMap
+    val qids = parsed.map(_._1)
+    val metaVals = qids.map { q =>
+      val m = nMust.getOrElse(q, 0)
+      s"($q, $m, ${if (m > 0) 0 else 1})"
+    }
+    val litVals = termRows.map { case (q, t, r) => s"($q, '$t', '$r')" }
+    val prefixSelects = parsed.flatMap { case (qid, cls) =>
+      cls.collect { case QsPrefix(role, p0) =>
+        val p = p0.toLowerCase(java.util.Locale.ROOT)
+        s"""SELECT $qid AS qid, term, '$role' AS role FROM (
+           |    SELECT term FROM dfp WHERE term LIKE '$p%'
+           |    ORDER BY term LIMIT ${QueryDsl.MaxExpansions})""".stripMargin
+      }
+    }
+    // a degenerate WHERE-false arm keeps the SQL valid if a future
+    // query set has no literal terms (the engine guards the same case)
+    val litArm =
+      if (litVals.isEmpty)
+        "SELECT NULL::INT AS qid, NULL::VARCHAR AS term, NULL::VARCHAR AS role WHERE false"
+      else s"SELECT qid, term, role FROM (VALUES ${litVals.mkString(", ")}) v(qid, term, role)"
+    val rolesSrc = (Seq(litArm) ++ prefixSelects).mkString("\n  UNION ALL\n  ")
+    val phrases = parsed.flatMap { case (qid, cls) =>
+      cls.collect { case QsPhrase(role, text) =>
+        (qid, role, CodeTokenizer.tokenize(text).toSeq)
+      }
+    }.filter(_._3.nonEmpty)
+    val phraseSelects = phrases.zipWithIndex.map { case ((qid, role, terms), pid) =>
+      val m = terms.length
+      val gram = (0 until m).map(j => s"tokens[i+$j]").mkString(" || ' ' || ")
+      s"""SELECT $qid AS qid, $pid AS pid, '$role' AS role, doc_id FROM toks
+         |  WHERE list_contains(list_transform(range(1, greatest(len(tokens) - $m + 2, 1)),
+         |    i -> $gram), '${terms.mkString(" ")}')""".stripMargin
+    }
+    val nReq = phrases.filter(_._2 != "must_not").groupBy(_._1).view.mapValues(_.size).toMap
+    val nreqVals = qids.map(q => s"($q, ${nReq.getOrElse(q, 0)})")
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |roles AS (SELECT DISTINCT qid, term, role FROM (
+       |  $rolesSrc)),
+       |meta(qid, n_must, n_msm) AS (VALUES ${metaVals.mkString(", ")}),
+       |wts AS (
+       |  SELECT r.qid, r.role, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN roles r ON p.term = r.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |sc AS (
+       |  SELECT qid, doc_id,
+       |    sum(CASE WHEN role IN ('must','should') THEN w ELSE 0.0 END ORDER BY term) AS score,
+       |    count(*) FILTER (WHERE role = 'must') AS must_got,
+       |    count(*) FILTER (WHERE role = 'must_not') AS not_got,
+       |    count(*) FILTER (WHERE role = 'should') AS should_got
+       |  FROM wts GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT sc.qid, sc.doc_id, sc.score FROM sc JOIN meta ON sc.qid = meta.qid
+       |  WHERE must_got = n_must AND not_got = 0 AND should_got >= n_msm),
+       |ph AS (${if (phraseSelects.isEmpty)
+        "SELECT NULL::INT AS qid, NULL::INT AS pid, NULL::VARCHAR AS role, NULL::BIGINT AS doc_id WHERE false"
+      else phraseSelects.mkString("\n  UNION ALL\n  ")}),
+       |req AS (SELECT qid, doc_id, count(DISTINCT pid) AS req_got
+       |        FROM ph WHERE role <> 'must_not' GROUP BY 1, 2),
+       |excl AS (SELECT DISTINCT qid, doc_id FROM ph WHERE role = 'must_not'),
+       |nreq(qid, n_req) AS (VALUES ${nreqVals.mkString(", ")}),
+       |fin AS (
+       |  SELECT c.qid, c.doc_id, c.score FROM cand c
+       |  JOIN nreq n ON c.qid = n.qid
+       |  LEFT JOIN req r ON c.qid = r.qid AND c.doc_id = r.doc_id
+       |  LEFT JOIN excl e ON c.qid = e.qid AND c.doc_id = e.doc_id
+       |  WHERE coalesce(r.req_got, 0) = n.n_req AND e.doc_id IS NULL),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM fin)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** Composite-agg oracle — the deliberately different formulation
+    * (searchAfter's discipline pointed at buckets): rank ALL buckets
+    * (k1, k2)-asc with a window and slice ranks (size, 2*size], where
+    * the engine restricts by the page-1 after-key and runs a bounded
+    * min-k. Identity proves the cursor tuple arithmetic. */
+  private def ftCompositeAgg: String = {
+    val pairs = SparkEntry.TermsAggQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    val sz = SparkEntry.CompositePageSize
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term),
+       |b AS (SELECT m.qid, d.lang AS k1, d.source AS k2, count(*) AS cnt
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2, 3),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY k1, k2) AS r FROM b)
+       |SELECT qid, (r - $sz)::BIGINT AS page_rank, k1, k2, cnt::BIGINT AS doc_count
+       |FROM rk WHERE r > $sz AND r <= ${2 * sz} ORDER BY qid, page_rank""".stripMargin
+  }
+
+  /** Filters-agg oracle: one count FILTER per named predicate, all on
+    * the single matching-set group. */
+  private def ftFiltersAgg: String = {
+    val pairs = SparkEntry.TermsAggQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM post p JOIN q ON p.term = q.term)
+       |SELECT m.qid,
+       |  count(*) FILTER (WHERE d.n_chars < 200) AS short_docs,
+       |  count(*) FILTER (WHERE d.lang = 'en') AS en_docs,
+       |  count(*) FILTER (WHERE d.n_chars >= 400) AS big_docs
+       |FROM m JOIN documents d ON m.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def ftSigTerms: String = {
     val pairs = SparkEntry.TermsAggQuerySet.flatMap { case (qid, text) =>
       CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
@@ -1140,6 +1493,17 @@ object OracleSql {
     "ft_terms_stats"      -> ftTermsStats,
     "ft_percentiles_agg"  -> ftPercentiles,
     "ft_sig_terms"        -> ftSigTerms,
+    "ft_dismax_topk"      -> ftDisMax,
+    "ft_boosting"         -> ftBoosting,
+    "ft_constant_score"   -> ftConstantScore,
+    "ft_regexp_topk"      -> ftRegexp,
+    "ft_range_agg"        -> ftRangeAgg,
+    "ft_top_hits"         -> ftTopHits,
+    "ft_extended_stats"   -> ftExtendedStats,
+    "ft_explain"          -> ftExplain,
+    "ft_query_string"     -> ftQueryString,
+    "ft_composite_agg"    -> ftCompositeAgg,
+    "ft_filters_agg"      -> ftFiltersAgg,
     "ing_docmap"          -> ingDocmap,
     "code_docmap"         -> codeDocmap,
     "code_ft_topk"        -> ftBm25(srcCte = codePostCte),

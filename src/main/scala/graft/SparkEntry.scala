@@ -492,6 +492,158 @@ object SparkEntry {
       .select(col("qid"), col("rank"), col("bucket"), col("fg_count"),
         format_string("%.9f", col("score")).as("score"))
 
+  /** dis_max tie_breaker (the ES example value — a non-zero tb is what
+    * distinguishes dis_max from best_fields). */
+  val DisMaxTieBreaker = 0.3
+
+  /** ES dis_max over (text, source): combined score = best field +
+    * tie_breaker * sum of the other fields' scores. */
+  private def qFtDisMax(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.disMaxTopK(s, tbl(s, dir, "documents"), col("doc_id"),
+      Seq(col("text"), col("source")), MultiMatchQuerySet, DisMaxTieBreaker)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** Boosting query set: (positive, negative) — demote a hot co-term,
+    * demote rare, negative absent (no demotion), positive absent. */
+  val BoostingQuerySet: Seq[(Int, String, String)] = Seq(
+    (1, "table", "dup"),
+    (2, "spark fast", "query"),
+    (3, "data stream", "zzznotfound"),
+    (4, "zzznotfound", "table"))
+  val NegativeBoost = 0.5
+
+  /** ES boosting query: positive match scores BM25; docs also matching
+    * the negative query are demoted by negative_boost, not excluded. */
+  private def qFtBoosting(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.boostingTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      BoostingQuerySet, NegativeBoost)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  val ConstantScoreBoost = 1.2
+
+  /** ES constant_score: filter-context match, every hit scores exactly
+    * the boost, ranks tie-break doc_id asc. */
+  private def qFtConstantScore(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.constantScoreTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      RangeQuerySet, ConstantScoreBoost)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** Regexp query set (Java/RE2 common subset): single-char hole,
+    * alternation, gap closure, vowel class, absent pattern. */
+  val RegexpQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "ta.le", 2 -> "s(p|t)ark", 3 -> "qu.*y", 4 -> "d[aeiou]p", 5 -> "zzz.*q")
+
+  /** ES regexp query from the segment index: anchored full-term
+    * expansion against the term dictionary through exact WAND. */
+  private def qFtRegexp(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.regexpTopK(s, ensureIndex(s, dir), RegexpQuerySet, cfg = IndexCfg)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** Range-agg bucket spec: open-below, mid, open-above (from
+    * inclusive, to exclusive — the ES contract). */
+  val RangeAggRanges: Seq[(Option[Long], Option[Long])] = Seq(
+    (None, Some(200L)), (Some(200L), Some(400L)), (Some(400L), None))
+
+  /** ES range aggregation over matching docs: user-specified n_chars
+    * buckets, empties emitted, specification order. */
+  private def qFtRangeAgg(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.rangeAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      HistogramQuerySet, col("n_chars"), RangeAggRanges)
+
+  val TopHitsPerBucket = 2
+
+  /** ES top_hits sub-aggregation: lang buckets, the 2 best-scoring
+    * docs inside each bucket. */
+  private def qFtTopHits(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.topHitsAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      TermsAggQuerySet, col("lang"), TopHitsPerBucket)
+      .select(col("qid"), col("bucket"), col("hit_rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** ES extended_stats over matching docs: stats + sum_of_squares /
+    * variance / std_deviation via the ES population formula on exact
+    * integer operands. */
+  private def qFtExtendedStats(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.extendedStatsAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      StatsAggQuerySet, col("n_chars"))
+      .select(col("qid"), col("doc_count"), col("min_v"), col("max_v"),
+        col("sum_v"), col("sum_sq"),
+        format_string("%.9f", col("avg_v")).as("avg_v"),
+        format_string("%.9f", col("variance")).as("variance"),
+        format_string("%.4f", col("std_dev")).as("std_dev"))
+
+  /** Explain query set: multi-term (full breakdown), hot single term,
+    * rare term, absent term (no rows). */
+  val ExplainQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "spark fast query", 2 -> "table", 3 -> "dup", 4 -> "zzznotfound")
+
+  /** ES _explain analogue: per-term BM25 breakdown (tf, df, doclen,
+    * idf, weight) for each query's top-ranked doc. */
+  private def qFtExplain(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.explainTop1(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      ExplainQuerySet)
+      .select(col("qid"), col("doc_id"), col("term"), col("tf"), col("df"),
+        col("doclen"),
+        format_string("%.4f", col("idf")).as("idf"),
+        format_string("%.4f", col("w")).as("w"))
+
+  /** query_string query set (flat Lucene grammar): sign mix, required
+    * phrase + must term, prefix + bare OR, phrase exclusion that keeps
+    * word-matching docs, absent must, prefix exclusion. */
+  val QueryStringQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "spark +fast -dup",
+    2 -> "+table \"spark fast\"",
+    3 -> "tab* query",
+    4 -> "data -\"data stream\"",
+    5 -> "+zzznotfound table",
+    6 -> "-tab* window")
+
+  /** Lucene/ES query_string (flat grammar: +must / -must_not / bare
+    * should / "phrase" adjacency / trailing-star prefix) compiled onto
+    * the bool role algebra + positional adjacency constraints. */
+  private def qFtQueryString(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.queryStringTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      QueryStringQuerySet)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  val CompositePageSize = 5
+
+  /** ES composite aggregation, PAGE 2: page 1 runs cursor-less, its
+    * last bucket key per query becomes the after-key (<= one row per
+    * query, the bounded echo an ES client sends back), and the dumped
+    * result is the second page — proving the after-key tuple arithmetic
+    * against an oracle that slices ranks (size, 2*size] instead. */
+  private def qFtCompositeAgg(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val page1 = QueryDsl.compositeAgg(s, docs, col("doc_id"), col("text"),
+      TermsAggQuerySet, col("lang"), col("source"), CompositePageSize)
+    val cursors = page1.collect()
+      .groupBy(_.getInt(0)).toSeq.map { case (qid, rows) =>
+        val last = rows.maxBy(_.getLong(1))
+        (qid, last.getString(2), last.getString(3))
+      }
+    QueryDsl.compositeAgg(s, docs, col("doc_id"), col("text"),
+      TermsAggQuerySet, col("lang"), col("source"), CompositePageSize, cursors)
+  }
+
+  /** Named structured predicates for the filters agg (the ES
+    * "dashboard counters" staple). */
+  def FiltersAggFilters: Seq[(String, Column)] = Seq(
+    "short_docs" -> (col("n_chars") < 200),
+    "en_docs" -> (col("lang") === "en"),
+    "big_docs" -> (col("n_chars") >= 400))
+
+  /** ES filters aggregation: three named predicate buckets riding one
+    * groupBy over each query's matching docs. */
+  private def qFtFiltersAgg(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.filtersAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      TermsAggQuerySet, FiltersAggFilters)
+
   /** date_histogram query set over the events stream: two-type match,
     * single type, absent type. */
   val DateHistogramQuerySet: Seq[(Int, String)] = Seq(
@@ -1090,6 +1242,17 @@ object SparkEntry {
     "ft_terms_stats"      -> (qFtTermsStats _),
     "ft_percentiles_agg"  -> (qFtPercentiles _),
     "ft_sig_terms"        -> (qFtSigTerms _),
+    "ft_dismax_topk"      -> (qFtDisMax _),
+    "ft_boosting"         -> (qFtBoosting _),
+    "ft_constant_score"   -> (qFtConstantScore _),
+    "ft_regexp_topk"      -> (qFtRegexp _),
+    "ft_range_agg"        -> (qFtRangeAgg _),
+    "ft_top_hits"         -> (qFtTopHits _),
+    "ft_extended_stats"   -> (qFtExtendedStats _),
+    "ft_explain"          -> (qFtExplain _),
+    "ft_query_string"     -> (qFtQueryString _),
+    "ft_composite_agg"    -> (qFtCompositeAgg _),
+    "ft_filters_agg"      -> (qFtFiltersAgg _),
     "ing_docmap"          -> (qIngDocmap _),
     "code_docmap"         -> (qCodeDocmap _),
     "code_ft_topk"        -> (qCodeFtTopk _),

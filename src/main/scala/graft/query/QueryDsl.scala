@@ -89,11 +89,24 @@ object QueryDsl {
                queries: Seq[BoolQuery],
                cfg: EngineConfig = EngineConfig.default): DataFrame = {
     import spark.implicits._
-    val post = Postings.build(docs, idCol, contentCol)
-    val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
     val q = queries.flatMap { bq =>
       bq.analyzed.map { case (t, role) => (bq.qid, t, role, bq.nMust, bq.nFilter, bq.msm) }
     }.toDF("qid", "term", "role", "n_must", "n_filter", "n_msm")
+    BM25.rankTopK(boolScored(spark, docs, idCol, contentCol, q, cfg), cfg.topK)
+  }
+
+  /** The bool role algebra WITHOUT the final ranking: one postings pass
+    * + one aggregation producing the qualifying (qid, doc_id, score)
+    * set. `roleRows` carries (qid, term, role, n_must, n_filter,
+    * n_msm) — a DataFrame rather than literal [[BoolQuery]]s so callers
+    * (query_string) can feed data-dependent rows such as prefix
+    * expansions resolved from the term dictionary. */
+  private[query] def boolScored(spark: SparkSession, docs: DataFrame, idCol: Column,
+                                contentCol: Column, roleRows: DataFrame,
+                                cfg: EngineConfig): DataFrame = {
+    val post = Postings.build(docs, idCol, contentCol)
+    val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
+    val q = roleRows
     val qdf = q.join(Postings.docFreq(post), "term")
     val weighted = post.join(broadcast(qdf), "term")
       .withColumn("w",
@@ -119,7 +132,7 @@ object QueryDsl {
         col("filter_got") === col("n_filter") &&
         col("not_got") === 0 &&
         col("should_got") >= col("n_msm"))
-    BM25.rankTopK(grouped, cfg.topK)
+    grouped.select("qid", "doc_id", "score")
   }
 
   /** Prefix top-k served from the segment index: each query's prefix
@@ -696,6 +709,500 @@ object QueryDsl {
         sort_array(collect_list(struct(col("term"), col("w")))),
         lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
     BM25.rankTopK(grouped, cfg.topK)
+  }
+
+  /** Shared match-scoring preamble: postings + corpus stats + per-term
+    * df joined onto the broadcast query-term table, weighted with the
+    * shared BM25 expression. Returns (weighted, post, n, avgdl) so a
+    * caller can reuse the postings plan and the (already-collected)
+    * corpus stats without a second stats job. */
+  private def matchPipeline(docs: DataFrame, idCol: Column, contentCol: Column,
+                            qterms: DataFrame, cfg: EngineConfig)
+      : (DataFrame, DataFrame, Long, Double) = {
+    val post = Postings.build(docs, idCol, contentCol)
+    val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
+    val qdf = qterms.join(Postings.docFreq(post), "term")
+    val weighted = post.join(broadcast(qdf), "term")
+      .withColumn("w",
+        BM25.weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
+    (weighted, post, n, avgdl)
+  }
+
+  /** One parsed query_string clause. Roles mirror the bool algebra
+    * (`+` must, `-` must_not, bare should). */
+  sealed trait QsClause { def role: String }
+  /** A bare or signed term, analyzed at compile time. */
+  final case class QsTerm(role: String, text: String) extends QsClause
+  /** A quoted phrase: `+"a b"` / bare `"a b"` require adjacency AND
+    * score the member terms as musts (the engine's phrase-scoring
+    * convention); `-"a b"` excludes docs where the phrase occurs
+    * WITHOUT excluding docs that merely contain the words. */
+  final case class QsPhrase(role: String, text: String) extends QsClause
+  /** A trailing-star prefix: expansions join the role's term set —
+    * `tab*` (should) scores each expansion independently
+    * (scoring_boolean), `-tab*` excludes docs matching ANY expansion.
+    * `+tab*` (match >= 1 of the expansions) is not expressible in the
+    * all-required must counter — fail loud rather than mis-rank. */
+  final case class QsPrefix(role: String, prefix: String) extends QsClause
+
+  /** Parser for the FLAT Lucene query_string grammar — the subset
+    * without parens, field overrides, or AND/OR keywords (Lucene's
+    * default-OR mode expresses those queries with +/- prefixes, which
+    * is exactly this grammar): whitespace-separated clauses, each an
+    * optional sign (`+` must, `-` must_not) followed by a bare term, a
+    * `"quoted phrase"`, or a `prefix*`. Documented deviation: an
+    * unsigned phrase is treated as required (`+`) — the common user
+    * intent, and optional-phrase scoring would need phrase-level df
+    * blending ES itself approximates. */
+  def parseQueryString(q: String): Seq[QsClause] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[QsClause]
+    var i = 0
+    val s = q.trim
+    while (i < s.length) {
+      while (i < s.length && s(i).isWhitespace) i += 1
+      if (i < s.length) {
+        val role = s(i) match {
+          case '+' => i += 1; "must"
+          case '-' => i += 1; "must_not"
+          case _ => "should"
+        }
+        if (i < s.length && s(i) == '"') {
+          val end = s.indexOf('"', i + 1)
+          require(end > 0, s"query_string: unterminated phrase in <$q>")
+          out += QsPhrase(if (role == "must_not") "must_not" else "must",
+            s.substring(i + 1, end))
+          i = end + 1
+        } else {
+          val start = i
+          while (i < s.length && !s(i).isWhitespace) i += 1
+          val tok = s.substring(start, i)
+          if (tok.nonEmpty) {
+            if (tok.endsWith("*") && tok.length > 1) {
+              val p = tok.dropRight(1)
+              require(!p.contains("*"), s"query_string: only a single trailing * is " +
+                s"supported (<$tok>) — a leading/mid-star wildcard would silently " +
+                s"analyze into unrelated terms")
+              require(role != "must", s"query_string: +prefix* (must-prefix) is not " +
+                s"supported — match-any-expansion contradicts the all-required must counter")
+              out += QsPrefix(role, p)
+            } else if (tok == "*") ()
+            else {
+              require(!tok.contains("*"), s"query_string: only a single trailing * is " +
+                s"supported (<$tok>) — a leading/mid-star wildcard would silently " +
+                s"analyze into unrelated terms")
+              out += QsTerm(role, tok)
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Lucene/ES query_string (flat grammar) over the corpus: compiles
+    * [[parseQueryString]]'s clauses onto the bool role algebra — one
+    * postings pass + one aggregation for scoring and role counters —
+    * with phrase clauses enforced as positional adjacency constraints
+    * on the SAME candidate machinery as match_phrase (a second bounded
+    * aggregation over the query-term positional postings), and prefix
+    * clauses expanded against the corpus term dictionary
+    * (lexicographic-first cap, one bounded metadata job for ALL prefix
+    * clauses together). Scoring: must/should terms and phrase member
+    * terms fold term-ascending exactly like bool; expansions score with
+    * their own df (scoring_boolean). minimum_should_match follows the
+    * Lucene default: 1 when the query has no required clause, else 0. */
+  def queryStringTopK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                      queries: Seq[(Int, String)],
+                      maxExpansions: Int = MaxExpansions,
+                      cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    val parsed = queries.map { case (qid, s) => qid -> parseQueryString(s) }
+    // literal role rows: terms analyze; phrase members become musts
+    val termRows = parsed.flatMap { case (qid, cls) =>
+      cls.flatMap {
+        case QsTerm(role, text) => CodeTokenizer.queryTerms(text).map(t => (qid, t, role))
+        case QsPhrase("must_not", _) => Nil
+        case QsPhrase(_, text) => CodeTokenizer.queryTerms(text).map(t => (qid, t, "must"))
+        case QsPrefix(_, _) => Nil
+      }
+    }.distinct
+    // prefix expansions: ONE distributed metadata job for every prefix
+    // clause (df-table join + per-clause window), bounded collect of
+    // <= clauses x maxExpansions rows — the same boundedness as the
+    // handle's term-dict expansion
+    val prefixClauses = parsed.flatMap { case (qid, cls) =>
+      cls.collect { case QsPrefix(role, p) =>
+        (qid, p.toLowerCase(java.util.Locale.ROOT), role)
+      }
+    }
+    val expRows: Seq[(Int, String, String)] =
+      if (prefixClauses.isEmpty) Nil
+      else {
+        val post = Postings.build(docs, idCol, contentCol)
+        val pdf = prefixClauses.zipWithIndex
+          .map { case ((qid, p, role), ci) => (qid, ci, role, p) }
+          .toDF("qid", "cidx", "role", "prefix")
+        Postings.docFreq(post)
+          .join(broadcast(pdf), col("term").startsWith(col("prefix")))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("qid", "cidx").orderBy("term")))
+          .filter(col("r") <= maxExpansions)
+          .select("qid", "term", "role").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      }
+    val allRows = (termRows ++ expRows).distinct
+    require(allRows.map { case (qid, t, _) => (qid, t) }.distinct.size == allRows.size,
+      "query_string: a term landed in two roles of one query")
+    val nMust = allRows.filter(_._3 == "must").groupBy(_._1).view.mapValues(_.size).toMap
+    val roleRows = allRows.map { case (qid, t, role) =>
+      val m = nMust.getOrElse(qid, 0)
+      (qid, t, role, m, 0, if (m > 0) 0 else 1)
+    }.toDF("qid", "term", "role", "n_must", "n_filter", "n_msm")
+    val scored = boolScored(spark, docs, idCol, contentCol, roleRows, cfg)
+    // phrase adjacency constraints from positional postings
+    val phrases = parsed.flatMap { case (qid, cls) =>
+      cls.collect { case QsPhrase(role, text) =>
+        (qid, role, CodeTokenizer.tokenize(text).toSeq)
+      }
+    }.filter(_._3.nonEmpty)
+    if (phrases.isEmpty) return BM25.rankTopK(scored, cfg.topK)
+    val pq = phrases.zipWithIndex.flatMap { case ((qid, role, ts), pid) =>
+      ts.zipWithIndex.map { case (t, off) => (qid, pid, role, t, off, ts.size) }
+    }.toDF("qid", "pid", "role", "term", "off", "m")
+    val posPost = Postings.buildPositional(docs, idCol, contentCol)
+      .select("term", "doc_id", "positions")
+    val phraseHit = posPost.join(broadcast(pq), "term")
+      .groupBy("qid", "pid", "doc_id")
+      .agg(count(lit(1)).as("got"), first(col("m")).as("m"),
+        first(col("role")).as("role"),
+        sort_array(collect_list(struct(col("off"), col("positions")))).as("lists"))
+      .filter(col("got") === col("m"))
+      .filter(OrderedSpanMatchExpr.matches(
+        transform(col("lists"), x => x.getField("positions")), lit(0)))
+      .select("qid", "pid", "role", "doc_id")
+    val reqPerQid = phrases.zipWithIndex
+      .filter(_._1._2 != "must_not")
+      .groupBy(_._1._1).view.mapValues(_.size).toSeq
+      .map { case (qid, n) => (qid, n) }.toDF("qid", "n_req")
+    val reqMatched = phraseHit.filter(col("role") =!= "must_not")
+      .groupBy("qid", "doc_id").agg(countDistinct(col("pid")).as("req_got"))
+    val excluded = phraseHit.filter(col("role") === "must_not")
+      .select("qid", "doc_id").distinct().withColumn("excl", lit(1))
+    val constrained = scored
+      .join(broadcast(reqPerQid), Seq("qid"), "left")
+      .join(reqMatched, Seq("qid", "doc_id"), "left")
+      .filter(coalesce(col("req_got"), lit(0L)) === coalesce(col("n_req"), lit(0)))
+      .join(excluded, Seq("qid", "doc_id"), "left")
+      .filter(col("excl").isNull)
+      .select("qid", "doc_id", "score")
+    BM25.rankTopK(constrained, cfg.topK)
+  }
+
+  /** ES dis_max over per-field match sub-queries with a non-zero
+    * tie_breaker (tie_breaker=0 IS [[multiMatchTopK]]'s best_fields):
+    * each field scores independently with ITS OWN postings/df/avgdl and
+    * a doc's combined score is best + tieBreaker * (sum_others), i.e.
+    * best + tb * (sum - best). The sum folds in FIELD order (a sorted
+    * bounded fold like every score fold here), so the combined double
+    * is bit-equal to the oracle's `sum(score ORDER BY fld)` form. Same
+    * asymptotics as multi_match: one postings pass per field, one
+    * union + one aggregation. */
+  def disMaxTopK(spark: SparkSession, docs: DataFrame, idCol: Column,
+                 fields: Seq[Column], queries: Seq[(Int, String)],
+                 tieBreaker: Double,
+                 cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    require(fields.nonEmpty, "dis_max needs >= 1 field")
+    val qterms = queries.flatMap { case (qid, text) =>
+      val ts = CodeTokenizer.queryTerms(text)
+      ts.map(t => (qid, t, ts.size))
+    }.toDF("qid", "term", "n_terms")
+    val perField = fields.zipWithIndex.map { case (fcol, fi) =>
+      val (weighted, _, _, _) = matchPipeline(docs, idCol, fcol, qterms, cfg)
+      BM25.scored(weighted).select(col("qid"), col("doc_id"), col("score"))
+        .withColumn("fld", lit(fi))
+    }
+    val comb = perField.reduce(_ unionByName _)
+      .groupBy("qid", "doc_id")
+      .agg(max(col("score")).as("best"),
+        aggregate(
+          sort_array(collect_list(struct(col("fld"), col("score")))),
+          lit(0.0), (acc, x) => acc + x.getField("score")).as("ssum"))
+      .withColumn("score",
+        col("best") + lit(tieBreaker) * (col("ssum") - col("best")))
+      .select("qid", "doc_id", "score")
+    BM25.rankTopK(comb, cfg.topK)
+  }
+
+  /** ES boosting query: docs are ranked by the positive match's BM25
+    * score, and any doc ALSO matching the negative query keeps its rank
+    * eligibility but has its score multiplied by `negativeBoost` (the
+    * ES demote-don't-exclude contract — the whole point over must_not).
+    * The negative side is a match-any membership probe: the scored set
+    * is already partitioned by (qid, doc_id) from its aggregation, so
+    * the demotion join adds one shuffle of the (qid, doc_id) negative
+    * id set and nothing else; multiplication by the boost literal is
+    * the same IEEE op on both engine and oracle. */
+  def boostingTopK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                   queries: Seq[(Int, String, String)], negativeBoost: Double,
+                   cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    val qpos = queries.flatMap { case (qid, p, _) =>
+      val ts = CodeTokenizer.queryTerms(p)
+      ts.map(t => (qid, t, ts.size))
+    }.toDF("qid", "term", "n_terms")
+    val (weighted, post, _, _) = matchPipeline(docs, idCol, contentCol, qpos, cfg)
+    val scored = BM25.scored(weighted)
+    val qneg = queries.flatMap { case (qid, _, ng) =>
+      CodeTokenizer.queryTerms(ng).map(qid -> _)
+    }.toDF("qid", "term")
+    val negMatched = post.join(broadcast(qneg), "term")
+      .select("qid", "doc_id").distinct()
+      .withColumn("neg_hit", lit(1))
+    val demoted = scored.join(negMatched, Seq("qid", "doc_id"), "left")
+      .withColumn("score",
+        when(col("neg_hit").isNotNull, col("score") * lit(negativeBoost))
+          .otherwise(col("score")))
+      .select("qid", "doc_id", "score")
+    BM25.rankTopK(demoted, cfg.topK)
+  }
+
+  /** ES constant_score: every doc matching the filter (match-any over
+    * the analyzed terms — filter context, no BM25 anywhere in the plan)
+    * scores exactly `boost`; ranks tie-break doc_id asc (the ES
+    * deterministic order when all scores are equal). One postings join
+    * + one distinct + the bounded top-k aggregation. */
+  def constantScoreTopK(spark: SparkSession, docs: DataFrame, idCol: Column,
+                        contentCol: Column, queries: Seq[(Int, String)], boost: Double,
+                        cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    val post = Postings.build(docs, idCol, contentCol)
+    val q = queries.flatMap { case (qid, t) => CodeTokenizer.queryTerms(t).map(qid -> _) }
+      .toDF("qid", "term")
+    val matched = post.join(broadcast(q), "term")
+      .select("qid", "doc_id").distinct()
+      .withColumn("score", lit(boost))
+    BM25.rankTopK(matched, cfg.topK)
+  }
+
+  /** ES regexp query served from the segment index: the pattern is
+    * anchored full-term (the Lucene contract — `ta.le` matches `table`,
+    * not `stables`), expands against the cached term dictionary
+    * ([[Wand.Handle.expandRegex]], lexicographic-first `maxExpansions`)
+    * and serves through the same exact WAND as prefix/wildcard. The
+    * expansion scans the (term, df) metadata table, never postings — a
+    * regexp with no literal prefix costs a full term-dict scan, the
+    * same cost class Lucene documents for leading-wildcard patterns.
+    * Oracle parity holds on the regex subset both Java and RE2 agree on
+    * (literals, classes, ., *, +, |, grouping — no backrefs or
+    * lookaround). */
+  def regexpTopK(spark: SparkSession, indexDir: String,
+                 queries: Seq[(Int, String)],
+                 maxExpansions: Int = MaxExpansions,
+                 cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    val h = Wand.handleFor(spark, indexDir, cfg)
+    // patterns match VERBATIM against the (lowercase) term dictionary —
+    // lowercasing a regex is not semantics-preserving (\D would become
+    // \d), so unlike prefix/wildcard the pattern is the caller's
+    h.topKTerms(queries.map { case (qid, p) =>
+      qid -> h.expandRegex(p.trim, maxExpansions)
+    })
+  }
+
+  /** ES range aggregation over a query's matching docs: every SPECIFIED
+    * range is an independent bucket — from inclusive, to exclusive,
+    * either end open, overlaps allowed, and empty buckets still emit
+    * (the ES contract: ranges are the user's axis, not the data's).
+    * The (query x range) grid is a broadcast literal; bucket membership
+    * is one broadcast range join + one count shuffle, and the zero-fill
+    * is a left join back against the same grid.
+    *
+    * Output: (qid, ridx, key, doc_count) in specification order. */
+  def rangeAgg(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+               queries: Seq[(Int, String)], valueCol: Column,
+               ranges: Seq[(Option[Long], Option[Long])]): DataFrame = {
+    import spark.implicits._
+    require(ranges.nonEmpty, "range agg needs >= 1 range")
+    val post = Postings.build(docs, idCol, contentCol)
+    val q = queries.flatMap { case (qid, t) => CodeTokenizer.queryTerms(t).map(qid -> _) }
+      .toDF("qid", "term")
+    val matched = post.join(broadcast(q), "term")
+      .select("qid", "doc_id").distinct()
+    val vals = docs.select(idCol.as("doc_id"), valueCol.cast("long").as("v"))
+      .join(matched, "doc_id")
+    def keyOf(lo: Option[Long], hi: Option[Long]) =
+      s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"
+    val grid = (for {
+      (qid, _) <- queries
+      ((lo, hi), i) <- ranges.zipWithIndex
+    } yield (qid, i, keyOf(lo, hi), lo, hi)).toDF("qid", "ridx", "key", "lo", "hi")
+    val counts = vals.as("v").join(broadcast(grid.as("g")),
+        col("v.qid") === col("g.qid") &&
+          (col("g.lo").isNull || col("v.v") >= col("g.lo")) &&
+          (col("g.hi").isNull || col("v.v") < col("g.hi")))
+      .groupBy(col("g.qid").as("qid"), col("g.ridx").as("ridx"))
+      .agg(count(lit(1)).as("cnt"))
+    grid.join(counts, Seq("qid", "ridx"), "left")
+      .select(col("qid"), col("ridx"), col("key"),
+        coalesce(col("cnt"), lit(0L)).as("doc_count"))
+      .orderBy("qid", "ridx")
+  }
+
+  /** ES top_hits sub-aggregation — terms buckets with the top
+    * `hitsPerBucket` scoring docs INSIDE each bucket (the "best example
+    * per category" shape). Scoring is the shared match pipeline; the
+    * per-bucket ranking is a window partitioned by (qid, bucket) —
+    * parallel across buckets, never a global sort; ES runs the same
+    * shape as one priority queue per bucket.
+    *
+    * Output: (qid, bucket, hit_rank, doc_id, score). */
+  def topHitsAgg(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                 queries: Seq[(Int, String)], bucketCol: Column,
+                 hitsPerBucket: Int = 2,
+                 cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, t) =>
+      val ts = CodeTokenizer.queryTerms(t)
+      ts.map(x => (qid, x, ts.size))
+    }.toDF("qid", "term", "n_terms")
+    val (weighted, _, _, _) = matchPipeline(docs, idCol, contentCol, q, cfg)
+    val scored = BM25.scored(weighted)
+    scored.join(docs.select(idCol.as("doc_id"), bucketCol.as("bucket")), "doc_id")
+      .withColumn("hit_rank", row_number().over(
+        Window.partitionBy("qid", "bucket")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("hit_rank") <= hitsPerBucket)
+      .select("qid", "bucket", "hit_rank", "doc_id", "score")
+      .orderBy("qid", "bucket", "hit_rank")
+  }
+
+  /** ES extended_stats aggregation over a query's matching docs:
+    * stats plus sum_of_squares / variance / std_deviation, computed
+    * with the ES population formula variance = sum2/n - avg^2 (the
+    * documented ES arithmetic) over EXACTLY-represented integer
+    * operands, so every derived double is the same IEEE expression on
+    * engine and oracle. std_deviation guards the formula's tiny
+    * negative epsilon with max(variance, 0) on both sides (NaN renders
+    * differ between JVM and C — determinism demands the clamp).
+    *
+    * Output: (qid, doc_count, min_v, max_v, sum_v, sum_sq, avg_v,
+    * variance, std_dev). */
+  def extendedStatsAgg(spark: SparkSession, docs: DataFrame, idCol: Column,
+                       contentCol: Column, queries: Seq[(Int, String)],
+                       valueCol: Column): DataFrame = {
+    import spark.implicits._
+    val post = Postings.build(docs, idCol, contentCol)
+    val q = queries.flatMap { case (qid, t) => CodeTokenizer.queryTerms(t).map(qid -> _) }
+      .toDF("qid", "term")
+    val matched = post.join(broadcast(q), "term")
+      .select("qid", "doc_id").distinct()
+    docs.select(idCol.as("doc_id"), valueCol.cast("long").as("v"))
+      .join(matched, "doc_id")
+      .groupBy("qid").agg(
+        count(lit(1)).as("doc_count"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(col("v")).as("sum_v"),
+        sum(col("v") * col("v")).as("sum_sq"))
+      .withColumn("avg_v", col("sum_v").cast("double") / col("doc_count"))
+      .withColumn("variance",
+        col("sum_sq").cast("double") / col("doc_count") - col("avg_v") * col("avg_v"))
+      .withColumn("std_dev", sqrt(greatest(col("variance"), lit(0.0))))
+      .orderBy("qid")
+  }
+
+  /** ES _explain analogue: the per-term BM25 breakdown for each query's
+    * TOP-RANKED doc — (term, tf, df, doclen, idf, weight) rows, the
+    * flattened form of the explanation tree ES returns. The ranking is
+    * the shared match pipeline; the breakdown join touches only the
+    * <= one (qid, doc) winner per query (an explicit broadcast back
+    * onto the weighted rows — a point lookup at any scale, the same
+    * fetch discipline as highlight). */
+  def explainTop1(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                  queries: Seq[(Int, String)],
+                  cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, t) =>
+      val ts = CodeTokenizer.queryTerms(t)
+      ts.map(x => (qid, x, ts.size))
+    }.toDF("qid", "term", "n_terms")
+    val (weighted, _, n, _) = matchPipeline(docs, idCol, contentCol, q, cfg)
+    val top1 = BM25.rankTopK(BM25.scored(weighted), 1).select("qid", "doc_id")
+    weighted.join(broadcast(top1), Seq("qid", "doc_id"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select("qid", "doc_id", "term", "tf", "df", "doclen", "idf", "w")
+      .orderBy("qid", "term")
+  }
+
+  /** ES composite aggregation — the scale-safe bucket pagination (the
+    * ONLY ES agg allowed to paginate arbitrarily many buckets; terms
+    * agg caps at its size). Buckets of the composite (k1, k2) key order
+    * lexicographically; a page is the first `size` buckets strictly
+    * AFTER the after-key cursor (tuple order, exactly search_after's
+    * arithmetic pointed at buckets). The pagination is a bounded min-k
+    * aggregation ([[MinKByKey]]): map-side partials and the shuffle
+    * carry `size` buckets per partition per query no matter the bucket
+    * cardinality — never a global bucket sort, never a window over all
+    * buckets (a window would betray the exact property composite agg
+    * exists for). Queries without an after entry page from the start.
+    *
+    * Output: (qid, page_rank, k1, k2, doc_count). */
+  def compositeAgg(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                   queries: Seq[(Int, String)], k1Col: Column, k2Col: Column,
+                   size: Int, after: Seq[(Int, String, String)] = Nil): DataFrame = {
+    import spark.implicits._
+    val post = Postings.build(docs, idCol, contentCol)
+    val q = queries.flatMap { case (qid, t) => CodeTokenizer.queryTerms(t).map(qid -> _) }
+      .toDF("qid", "term")
+    val matched = post.join(broadcast(q), "term")
+      .select("qid", "doc_id").distinct()
+    // ES composite agg omits docs with a null source key by default
+    // (missing_bucket=false) — and a null key would corrupt the
+    // concat_ws composite anyway (concat_ws drops nulls)
+    val buckets = docs.select(idCol.as("doc_id"), k1Col.as("k1"), k2Col.as("k2"))
+      .filter(col("k1").isNotNull && col("k2").isNotNull)
+      .join(matched, "doc_id")
+      .groupBy("qid", "k1", "k2").agg(count(lit(1)).as("cnt"))
+    val afterDf = after.toDF("qid", "a1", "a2")
+    val paged = buckets.join(broadcast(afterDf), Seq("qid"), "left")
+      .filter(col("a1").isNull ||
+        col("k1") > col("a1") || (col("k1") === col("a1") && col("k2") > col("a2")))
+    // composite key: keys are ascii-safe corpus fields; \u0001 sorts
+    // below every printable char, so concat order == tuple order
+    val sep = "\u0001"
+    paged
+      .withColumn("ck", concat_ws(sep, col("k1"), col("k2")))
+      .groupBy("qid").agg(MinKAgg.minK(size)(col("ck"), col("cnt")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("page_rank"),
+        substring_index(col("col.key"), sep, 1).as("k1"),
+        substring_index(col("col.key"), sep, -1).as("k2"),
+        col("col.cnt").as("doc_count"))
+      .orderBy("qid", "page_rank")
+  }
+
+  /** ES filters aggregation: NAMED buckets, each an arbitrary
+    * structured predicate over the query's matching docs — every named
+    * count rides ONE groupBy (the sub-agg-tree discipline: bucket
+    * count is plan width, not plan depth). Output: (qid, <one BIGINT
+    * column per filter name>). */
+  def filtersAgg(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                 queries: Seq[(Int, String)],
+                 filters: Seq[(String, Column)]): DataFrame = {
+    import spark.implicits._
+    require(filters.nonEmpty, "filters agg needs >= 1 named filter")
+    val post = Postings.build(docs, idCol, contentCol)
+    val q = queries.flatMap { case (qid, t) => CodeTokenizer.queryTerms(t).map(qid -> _) }
+      .toDF("qid", "term")
+    val matched = post.join(broadcast(q), "term")
+      .select("qid", "doc_id").distinct()
+    val counts = filters.map { case (name, pred) =>
+      count(when(pred, 1)).as(name)
+    }
+    docs.withColumn("doc_id", idCol)
+      .join(matched, "doc_id")
+      .groupBy("qid").agg(counts.head, counts.tail: _*)
+      .orderBy("qid")
   }
 
   /** more_like_this top-k: for each (qid, source doc), select the

@@ -60,3 +60,42 @@ object TopKAgg {
   def topK(k: Int)(score: Column, docId: Column): Column =
     udaf(new TopKByScore(k), ExpressionEncoder[ScoredDoc]()).apply(score, docId)
 }
+
+/** One (composite key, count) bucket. Top-level for encoder codegen. */
+final case class KeyedBucket(key: String, cnt: Long)
+
+/** Bounded min-k by key asc — [[TopKByScore]]'s discipline pointed at
+  * lexicographic bucket pagination (ES composite aggregation): the
+  * buffer keeps the k SMALLEST keys, so map-side partials and the
+  * shuffle carry k buckets per partition per group no matter how many
+  * buckets exist — the property composite agg exists for. Keys within
+  * one group are distinct by construction (they are groupBy outputs),
+  * so key-asc alone is a total order. */
+final class MinKByKey(k: Int)
+    extends Aggregator[KeyedBucket, Seq[KeyedBucket], Seq[KeyedBucket]] {
+
+  @inline private def better(a: KeyedBucket, b: KeyedBucket): Boolean = a.key < b.key
+
+  private def insert(buf: Seq[KeyedBucket], x: KeyedBucket): Seq[KeyedBucket] =
+    if (buf.size >= k && !better(x, buf.last)) buf
+    else {
+      val i = buf.indexWhere(e => better(x, e))
+      val withX = if (i < 0) buf :+ x else (buf.take(i) :+ x) ++ buf.drop(i)
+      if (withX.size > k) withX.take(k) else withX
+    }
+
+  override def zero: Seq[KeyedBucket] = Vector.empty
+  override def reduce(buf: Seq[KeyedBucket], x: KeyedBucket): Seq[KeyedBucket] = insert(buf, x)
+  override def merge(a: Seq[KeyedBucket], b: Seq[KeyedBucket]): Seq[KeyedBucket] =
+    b.foldLeft(a)(insert)
+  override def finish(r: Seq[KeyedBucket]): Seq[KeyedBucket] = r
+  override def bufferEncoder: Encoder[Seq[KeyedBucket]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[KeyedBucket]] = ExpressionEncoder()
+}
+
+object MinKAgg {
+  /** Column form: minK(keyCol, cntCol) -> array&lt;struct&lt;key,cnt&gt;&gt;
+    * sorted key-asc, length &lt;= k. */
+  def minK(k: Int)(key: Column, cnt: Column): Column =
+    udaf(new MinKByKey(k), ExpressionEncoder[KeyedBucket]()).apply(key, cnt)
+}

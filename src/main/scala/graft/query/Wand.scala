@@ -369,6 +369,19 @@ object Wand {
         .collect().map(_.getString(0)).toSeq
     }
 
+    /** Index terms FULL-matching an anchored regexp (the Lucene regexp
+      * query contract: the pattern must consume the whole term),
+      * lexicographic-first capped at maxExpansions — same expansion
+      * discipline as [[expandWildcard]], same metadata-only cost (a
+      * pattern with no literal prefix scans the whole term dictionary,
+      * never postings). Callers keep patterns inside the Java/RE2
+      * common subset (literals, classes, ., *, +, |, grouping) so the
+      * DuckDB oracle's regexp_full_match agrees. */
+    def expandRegex(pattern: String, maxExpansions: Int): Seq[String] =
+      dfTable.filter(col("term").rlike("^(?:" + pattern + ")$"))
+        .orderBy("term").limit(maxExpansions)
+        .collect().map(_.getString(0)).toSeq
+
     /** Index terms within classic Levenshtein distance <= maxDist of
       * `term`, highest-df first (ES fuzzy rewrite
       * top_terms_blended_freqs keeps the highest-frequency expansions),

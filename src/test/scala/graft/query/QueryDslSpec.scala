@@ -433,6 +433,231 @@ class QueryDslSpec extends SparkSuite {
     assert(math.abs(r.head._3 - 1.0 / 3) < 1e-12)
   }
 
+  test("dis_max: tie_breaker=0 equals best_fields, tie_breaker=1 equals the field-score sum") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "alpha"), (2L, "alpha", "gamma"),
+      (3L, "beta", "alpha alpha"), (4L, "gamma", "delta"))
+      .toDF("doc_id", "text", "source")
+    val q = Seq(1 -> "alpha", 2 -> "beta gamma")
+    def scores(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getInt(0), x.getLong(2)) -> x.getDouble(3)).toMap
+    val tb0 = scores(disMaxTopK(spark, docs, col("doc_id"),
+      Seq(col("text"), col("source")), q, tieBreaker = 0.0))
+    val best = scores(multiMatchTopK(spark, docs, col("doc_id"),
+      Seq(col("text"), col("source")), q))
+    assert(tb0 === best, "tie_breaker=0 IS best_fields")
+    val tb1 = scores(disMaxTopK(spark, docs, col("doc_id"),
+      Seq(col("text"), col("source")), q, tieBreaker = 1.0))
+    val f1 = scores(multiMatchTopK(spark, docs, col("doc_id"), Seq(col("text")), q))
+    val f2 = scores(multiMatchTopK(spark, docs, col("doc_id"), Seq(col("source")), q))
+    tb1.foreach { case (k, v) =>
+      val expect = f1.getOrElse(k, 0.0) + f2.getOrElse(k, 0.0)
+      assert(math.abs(v - expect) < 1e-12, s"tb=1 sums the field scores at $k")
+    }
+    assert(tb1.keySet === (f1.keySet ++ f2.keySet), "union of field hits")
+  }
+
+  test("boosting: negative match demotes by exactly negative_boost, never excludes") {
+    // doc 1 outscores doc 2 on the positive query (higher tf), but
+    // matches the negative term -> halved, doc 2 overtakes
+    val d = df(1L -> "alpha alpha beta", 2L -> "alpha gamma", 3L -> "beta")
+    val plain = hits(BM25.topK(spark, df(1L -> "alpha alpha beta", 2L -> "alpha gamma",
+      3L -> "beta"), col("doc_id"), col("text"), Seq(1 -> "alpha")))
+    val boosted = hits(boostingTopK(spark, d, col("doc_id"), col("text"),
+      Seq((1, "alpha", "beta")), negativeBoost = 0.5))
+    val plainByDoc = plain(1).map { case (id, s) => id -> s }.toMap
+    val boostByDoc = boosted(1).map { case (id, s) => id -> s }.toMap
+    assert(plain(1).head._1 === 1L, "raw ranking: doc 1 first")
+    assert(boosted(1).head._1 === 2L, "demotion flips the order")
+    assert(boostByDoc.keySet === Set(1L, 2L), "demoted doc is kept, not excluded")
+    assert(boostByDoc(1L) === plainByDoc(1L) * 0.5, "exactly negative_boost x score")
+    assert(boostByDoc(2L) === plainByDoc(2L), "non-negative doc untouched")
+  }
+
+  test("constant_score: every hit scores the boost, ranks by doc_id, absent term empty") {
+    val d = df(1L -> "alpha", 2L -> "beta alpha", 3L -> "gamma")
+    val r = hits(constantScoreTopK(spark, d, col("doc_id"), col("text"),
+      Seq(1 -> "alpha", 2 -> "zzz"), boost = 1.2))
+    assert(r(1).map(_._1) === Seq(1L, 2L), "doc_id-asc tie order")
+    assert(r(1).forall(_._2 === 1.2), "filter context scores the constant")
+    assert(!r.contains(2), "absent term -> no rows")
+  }
+
+  test("regexp: anchored full-term match, alternation and classes expand, absent drops qid") {
+    val dir = indexOf(1L -> "abc", 2L -> "abd", 3L -> "abcd", 4L -> "xyz")
+    val r = hits(regexpTopK(spark, dir, Seq(
+      1 -> "ab.", 2 -> "a(bc|bd)", 3 -> "x[xy]z", 4 -> "zzz.*")))
+    assert(r(1).map(_._1).toSet === Set(1L, 2L), "ab. is anchored: abcd does NOT match")
+    assert(r(2).map(_._1).toSet === Set(1L, 2L), "alternation")
+    assert(r(3).map(_._1).toSet === Set(4L), "character class")
+    assert(!r.contains(4), "absent pattern -> qid dropped")
+  }
+
+  test("range agg: from inclusive / to exclusive, open ends, empty buckets emit 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha", 100L), (2L, "alpha", 200L), (3L, "alpha", 400L),
+      (4L, "beta", 250L)).toDF("doc_id", "text", "v")
+    val r = rangeAgg(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"), col("v"),
+      Seq((None, Some(200L)), (Some(200L), Some(400L)), (Some(400L), None),
+        (Some(1000L), None)))
+      .collect().map(x => (x.getString(2), x.getLong(3))).toSeq
+    // 200 lands in [200,400) (from inclusive), 400 in [400,*) (to
+    // exclusive); the 1000+ bucket is empty but still emits
+    assert(r === Seq("*-200" -> 1L, "200-400" -> 1L, "400-*" -> 1L, "1000-*" -> 0L))
+  }
+
+  test("top_hits: per-bucket top-k by (score desc, doc_id), singleton buckets emit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha alpha", "x"), (2L, "alpha alpha", "x"), (3L, "alpha", "x"),
+      (4L, "alpha", "y")).toDF("doc_id", "text", "b")
+    val r = topHitsAgg(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"), col("b"), hitsPerBucket = 2)
+      .collect().map(x => (x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.filter(_._1 == "x").map(t => (t._2, t._3)).toSeq === Seq((1L, 1L), (2L, 2L)),
+      "bucket x keeps its 2 best (higher tf first), drops the third")
+    assert(r.filter(_._1 == "y").map(t => (t._2, t._3)).toSeq === Seq((1L, 4L)),
+      "singleton bucket emits its one hit")
+  }
+
+  test("extended stats: exact moments and the ES population variance formula") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha", 1L), (2L, "alpha", 2L), (3L, "alpha", 3L),
+      (4L, "alpha", 4L), (5L, "beta", 99L)).toDF("doc_id", "text", "v")
+    val r = extendedStatsAgg(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"), col("v")).collect().head
+    assert(r.getLong(1) === 4L && r.getLong(2) === 1L && r.getLong(3) === 4L)
+    assert(r.getLong(4) === 10L, "sum")
+    assert(r.getLong(5) === 30L, "sum of squares")
+    assert(r.getDouble(6) === 2.5, "avg")
+    assert(r.getDouble(7) === 30.0 / 4 - 2.5 * 2.5, "variance = sum2/n - avg^2")
+    assert(r.getDouble(8) === math.sqrt(1.25), "std_dev")
+  }
+
+  test("explain: breakdown rows reconstruct the top doc's score term by term") {
+    val d = df(1L -> "alpha beta alpha", 2L -> "alpha", 3L -> "beta gamma")
+    val q = Seq(1 -> "alpha beta", 2 -> "zzz")
+    val top = hits(BM25.topK(spark, d, col("doc_id"), col("text"), q))
+    val ex = explainTop1(spark, d, col("doc_id"), col("text"), q).collect()
+    assert(ex.forall(_.getInt(0) == 1), "absent-term query has no explanation")
+    assert(ex.map(_.getLong(1)).toSet === Set(top(1).head._1), "explains the rank-1 doc")
+    assert(ex.map(_.getString(2)).sorted === Array("alpha", "beta"))
+    // the term-ascending sum of the weights IS the hit's score
+    val folded = ex.sortBy(_.getString(2)).map(_.getDouble(7)).foldLeft(0.0)(_ + _)
+    assert(folded === top(1).head._2, "bit-equal fold reconstruction")
+    val alphaRow = ex.find(_.getString(2) == "alpha").get
+    assert(alphaRow.getLong(3) === 2L && alphaRow.getLong(4) === 2L &&
+      alphaRow.getLong(5) === 3L, "tf=2, df=2, doclen=3")
+  }
+
+  test("query_string parser: signs, phrases, prefixes; malformed input fails loud") {
+    val cls = parseQueryString("""spark +fast -dup "data stream" -"bad one" tab* -x*""")
+    assert(cls === Seq(
+      QsTerm("should", "spark"), QsTerm("must", "fast"), QsTerm("must_not", "dup"),
+      QsPhrase("must", "data stream"), QsPhrase("must_not", "bad one"),
+      QsPrefix("should", "tab"), QsPrefix("must_not", "x")))
+    assertThrows[IllegalArgumentException](parseQueryString("\"unterminated"))
+    assertThrows[IllegalArgumentException](parseQueryString("+tab*"))
+    assertThrows[IllegalArgumentException](parseQueryString("a*b"))
+    assertThrows[IllegalArgumentException](parseQueryString("*ab"))
+    assert(parseQueryString("  ") === Nil, "blank query parses empty")
+    assert(parseQueryString("*") === Nil, "a bare star is dropped, not a prefix")
+  }
+
+  private val qsDocs = Seq(
+    1L -> "alpha beta gamma",
+    2L -> "alpha beta",
+    3L -> "beta alpha",
+    4L -> "alpha delta",
+    5L -> "gamma")
+
+  test("query_string: +/- roles, required phrase is order-sensitive adjacency") {
+    val d = df(qsDocs: _*)
+    val r = hits(queryStringTopK(spark, d, col("doc_id"), col("text"), Seq(
+      1 -> "+alpha -delta",
+      2 -> "\"alpha beta\"",
+      3 -> "gamma -\"alpha beta\"")))
+    assert(r(1).map(_._1).toSet === Set(1L, 2L, 3L), "must alpha, not delta")
+    assert(r(2).map(_._1).toSet === Set(1L, 2L),
+      "phrase requires adjacency IN ORDER: 'beta alpha' does not match")
+    assert(r(3).map(_._1).toSet === Set(5L),
+      "-phrase excludes the adjacent doc but the words alone don't exclude")
+  }
+
+  test("query_string: prefix expansion joins the role set, exclusion prefix works") {
+    val d = df(qsDocs: _*)
+    val r = hits(queryStringTopK(spark, d, col("doc_id"), col("text"), Seq(
+      1 -> "alp* delta",
+      2 -> "-alp* gamma",
+      3 -> "+zzz alpha")))
+    assert(r(1).map(_._1).toSet === Set(1L, 2L, 3L, 4L), "alpha-prefix OR delta")
+    assert(r(2).map(_._1).toSet === Set(5L), "docs with gamma and no alp*-term")
+    assert(!r.contains(3), "absent must term empties the query")
+  }
+
+  test("query_string must-only compiles bit-equal to the bool must algebra") {
+    val d = df(qsDocs: _*)
+    val viaQs = hits(queryStringTopK(spark, d, col("doc_id"), col("text"),
+      Seq(1 -> "+alpha +beta")))
+    val viaBool = hits(boolTopK(spark, d, col("doc_id"), col("text"),
+      Seq(BoolQuery(1, must = Seq("alpha", "beta")))))
+    assert(viaQs === viaBool)
+  }
+
+  private val compDocs = Seq(
+    (1L, "alpha", "a", "x"), (2L, "alpha", "a", "y"), (3L, "alpha", "b", "x"),
+    (4L, "alpha", "b", "y"), (5L, "alpha", "c", "x"), (6L, "beta", "a", "x"))
+
+  test("composite agg: tuple-ordered buckets, after-key pages strictly after, size bounds") {
+    import spark.implicits._
+    val d = compDocs.toDF("doc_id", "text", "k1", "k2")
+    def page(after: Seq[(Int, String, String)]) =
+      compositeAgg(spark, d, col("doc_id"), col("text"), Seq(1 -> "alpha"),
+        col("k1"), col("k2"), size = 2, after)
+        .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(page(Nil) === Seq((1L, "a", "x", 1L), (2L, "a", "y", 1L)),
+      "no cursor -> first page in (k1, k2) order")
+    assert(page(Seq((1, "a", "y"))) === Seq((1L, "b", "x", 1L), (2L, "b", "y", 1L)),
+      "page 2 starts strictly after the cursor tuple")
+    assert(page(Seq((1, "b", "x"))) === Seq((1L, "b", "y", 1L), (2L, "c", "x", 1L)),
+      "mid-tuple cursor: same k1 later k2 qualifies, earlier k1 does not")
+    assert(page(Seq((1, "c", "x"))) === Nil, "past the last bucket -> empty page")
+  }
+
+  test("composite agg: null-key docs are omitted (ES missing_bucket=false)") {
+    import spark.implicits._
+    val d = (compDocs :+ ((7L, "alpha", null, "z"))).toDF("doc_id", "text", "k1", "k2")
+    val r = compositeAgg(spark, d, col("doc_id"), col("text"), Seq(1 -> "alpha"),
+      col("k1"), col("k2"), size = 10)
+      .collect().map(x => (x.getString(2), x.getString(3))).toSeq
+    assert(r === Seq("a" -> "x", "a" -> "y", "b" -> "x", "b" -> "y", "c" -> "x"),
+      "the null-lang doc forms no bucket")
+  }
+
+  test("composite agg plan: bounded min-k aggregation, no Window over the buckets") {
+    import spark.implicits._
+    val d = compDocs.toDF("doc_id", "text", "k1", "k2")
+    val plan = compositeAgg(spark, d, col("doc_id"), col("text"), Seq(1 -> "alpha"),
+      col("k1"), col("k2"), size = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bucket pagination must not window-sort all buckets")
+    assert(plan.contains("minkbykey") || plan.contains("MinKByKey"),
+      "the bounded min-k aggregator carries the page")
+  }
+
+  test("filters agg: named predicate buckets ride one aggregation") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha", 10L, "en"), (2L, "alpha", 300L, "de"),
+      (3L, "alpha", 500L, "en"), (4L, "beta", 10L, "en"))
+      .toDF("doc_id", "text", "n_chars", "lang")
+    val r = filtersAgg(spark, d, col("doc_id"), col("text"), Seq(1 -> "alpha"),
+      Seq("short_docs" -> (col("n_chars") < 200),
+        "en_docs" -> (col("lang") === "en"),
+        "big_docs" -> (col("n_chars") >= 400))).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 2L, 1L)))
+  }
+
   test("mlt: tf/df thresholds select terms, source doc is excluded, absent doc yields nothing") {
     // 'widget' appears twice in doc 1 (tf>=2) and in 6 docs (df>=5);
     // 'gear' has tf 1 in doc 1 and df 2 — below both thresholds
