@@ -824,6 +824,176 @@ object OracleSql {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Rescore oracle: base match scores, window = rank <= windowSize,
+    * adjacency via the n-gram EXISTS idiom, secondary = member-term
+    * fold restricted to window+adjacency docs, final = 1.0 * base +
+    * 1.0 * coalesce(sec, 0.0) — the engine's exact expression (ES
+    * total mode, default weights). */
+  private def ftRescore: String = {
+    val basePairs = SparkEntry.RescoreQuerySet.flatMap { case (qid, text, _) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    val phrases = SparkEntry.RescoreQuerySet.map { case (qid, _, ph) =>
+      (qid, CodeTokenizer.tokenize(ph).toSeq)
+    }.filter(_._2.nonEmpty)
+    val adjSelects = phrases.map { case (qid, terms) =>
+      val m = terms.length
+      val gram = (0 until m).map(j => s"tokens[i+$j]").mkString(" || ' ' || ")
+      s"""SELECT $qid AS qid, doc_id FROM toks
+         |  WHERE list_contains(list_transform(range(1, greatest(len(tokens) - $m + 2, 1)),
+         |    i -> $gram), '${terms.mkString(" ")}')""".stripMargin
+    }
+    val secPairs = phrases.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => s"($qid, '$t')")
+    }
+    val win = SparkEntry.RescoreWindow
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |bq(qid, term) AS (VALUES ${basePairs.mkString(", ")}),
+       |bw AS (
+       |  SELECT bq.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN bq ON p.term = bq.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |bsc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM bw GROUP BY 1, 2),
+       |win AS (SELECT qid, doc_id, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS r
+       |  FROM bsc) WHERE r <= $win),
+       |adj AS (${adjSelects.mkString("\n  UNION ALL\n  ")}),
+       |sq(qid, term) AS (VALUES ${secPairs.mkString(", ")}),
+       |sw AS (
+       |  SELECT sq.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN sq ON p.term = sq.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |ssc AS (
+       |  SELECT sw.qid, sw.doc_id, sum(sw.w ORDER BY sw.term) AS sec
+       |  FROM sw
+       |  JOIN win ON sw.qid = win.qid AND sw.doc_id = win.doc_id
+       |  JOIN adj ON sw.qid = adj.qid AND sw.doc_id = adj.doc_id
+       |  GROUP BY 1, 2),
+       |fin AS (
+       |  SELECT win.qid, win.doc_id,
+       |    1.0 * win.score + 1.0 * coalesce(ssc.sec, 0.0) AS score
+       |  FROM win LEFT JOIN ssc ON win.qid = ssc.qid AND win.doc_id = ssc.doc_id),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM fin)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** Term-suggester oracle: dictionary candidates within 2 classic
+    * edits (input excluded), ranked (dist, df desc, term), top 5. */
+  private def ftSuggest: String = {
+    val pairs = SparkEntry.SuggestQuerySet.map { case (qid, t) =>
+      s"($qid, '${t.trim.toLowerCase(java.util.Locale.ROOT)}')"
+    }
+    s"""$postCte,
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |q(qid, input) AS (VALUES ${pairs.mkString(", ")}),
+       |cand AS (
+       |  SELECT q.qid, d.term, d.df, levenshtein(d.term, q.input) AS dist
+       |  FROM dfp d JOIN q ON d.term <> q.input
+       |    AND abs(len(d.term) - len(q.input)) <= 2
+       |    AND levenshtein(d.term, q.input) <= 2),
+       |rk AS (SELECT *, row_number() OVER (
+       |         PARTITION BY qid ORDER BY dist, df DESC, term) AS "rank" FROM cand)
+       |SELECT qid, "rank", term AS suggestion, dist::BIGINT AS dist, df
+       |FROM rk WHERE "rank" <= 5 ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** Boosted multi_match oracle: ftMultiMatch with each field's
+    * term-ascending fold multiplied by its boost BEFORE the max —
+    * the engine's fold-then-multiply, bit-equal. */
+  private def ftBoostedFields: String = {
+    val pairs = SparkEntry.MultiMatchQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    val b1 = SparkEntry.BoostedFieldsBoosts.head
+    val b2 = SparkEntry.BoostedFieldsBoosts(1)
+    s"""$postCte,
+       |toks2 AS (SELECT doc_id, ${CodeTokenizer.sqlTokenArray("source")} AS tokens FROM documents),
+       |tokl2 AS (SELECT doc_id, len(tokens)::BIGINT AS doclen, unnest(tokens) AS term FROM toks2),
+       |post2 AS (SELECT term, doc_id, doclen, count(*) AS tf FROM tokl2 GROUP BY 1, 2, 3),
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |stats2 AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks2),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |dfp2 AS (SELECT term, count(*) AS df FROM post2 GROUP BY 1),
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |w1 AS (
+       |  SELECT q.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |w2 AS (
+       |  SELECT q.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post2 p JOIN q ON p.term = q.term JOIN dfp2 d ON p.term = d.term
+       |  CROSS JOIN stats2 s),
+       |sc1 AS (SELECT qid, doc_id, sum(w ORDER BY term) * $b1 AS score FROM w1 GROUP BY 1, 2),
+       |sc2 AS (SELECT qid, doc_id, sum(w ORDER BY term) * $b2 AS score FROM w2 GROUP BY 1, 2),
+       |best AS (
+       |  SELECT qid, doc_id, max(score) AS score
+       |  FROM (SELECT * FROM sc1 UNION ALL SELECT * FROM sc2) GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM best)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** has_child oracle (score_mode=sum): child match scores roll up per
+    * (qid, source parent) with the child-ordered sum — the engine's
+    * sorted (doc_id, score) fold is `sum(score ORDER BY doc_id)`,
+    * bit-equal — ranked (score desc, parent asc). */
+  private def ftHasChild: String = {
+    val pairs = SparkEntry.TermsAggQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |wts AS (
+       |  SELECT q.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |par AS (
+       |  SELECT sc.qid, d.source AS parent, sum(sc.score ORDER BY sc.doc_id) AS score
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id GROUP BY 1, 2),
+       |rk AS (SELECT qid, parent, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, parent) AS "rank"
+       |       FROM par)
+       |SELECT qid, "rank", parent, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
+  /** function_score oracle (field_value_factor log1p multiply):
+    * BM25 * ln(1 + factor * n_chars) — identical IEEE expression. */
+  private def ftFunctionScore: String = {
+    val pairs = SparkEntry.HistogramQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    val f = SparkEntry.FunctionScoreFactor
+    s"""$postCte,
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(len(tokens)) AS avgdl FROM toks),
+       |dfp AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |wts AS (
+       |  SELECT q.qid, p.term, p.doc_id, $wExpr AS w
+       |  FROM post p JOIN q ON p.term = q.term JOIN dfp d ON p.term = d.term
+       |  CROSS JOIN stats s),
+       |sc AS (SELECT qid, doc_id, sum(w ORDER BY term) AS score FROM wts GROUP BY 1, 2),
+       |fs AS (
+       |  SELECT sc.qid, sc.doc_id,
+       |    sc.score * ln(1.0 + $f * d.n_chars::DOUBLE) AS score
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS "rank"
+       |       FROM fs)
+       |SELECT qid, "rank", doc_id, printf('%.4f', score) AS score
+       |FROM rk WHERE "rank" <= ${cfg.topK} ORDER BY qid, "rank"""".stripMargin
+  }
+
   private def ftSigTerms: String = {
     val pairs = SparkEntry.TermsAggQuerySet.flatMap { case (qid, text) =>
       CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
@@ -1504,6 +1674,11 @@ object OracleSql {
     "ft_query_string"     -> ftQueryString,
     "ft_composite_agg"    -> ftCompositeAgg,
     "ft_filters_agg"      -> ftFiltersAgg,
+    "ft_rescore"          -> ftRescore,
+    "ft_suggest"          -> ftSuggest,
+    "ft_boosted_fields"   -> ftBoostedFields,
+    "ft_has_child"        -> ftHasChild,
+    "ft_function_score"   -> ftFunctionScore,
     "ing_docmap"          -> ingDocmap,
     "code_docmap"         -> codeDocmap,
     "code_ft_topk"        -> ftBm25(srcCte = codePostCte),

@@ -644,6 +644,67 @@ object SparkEntry {
     QueryDsl.filtersAgg(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
       TermsAggQuerySet, FiltersAggFilters)
 
+  /** Rescore query set: (match text, rescore phrase) — phrase present
+    * in some window docs, reversed-order phrase (adjacency miss), a
+    * multi-term window with a hot phrase, absent rescore phrase (ranks
+    * must equal qw * base order). */
+  val RescoreQuerySet: Seq[(Int, String, String)] = Seq(
+    (1, "spark fast query", "spark fast"),
+    (2, "table dup", "dup table"),
+    (3, "data stream window", "data stream"),
+    (4, "dup", "zzznotfound zzz"))
+  val RescoreWindow = 20
+
+  /** ES rescore (total mode, default weights): top-window hits
+    * re-scored as base + match_phrase secondary, window-bounded. */
+  private def qFtRescore(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.rescoreTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      RescoreQuerySet, RescoreWindow)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** Term-suggest inputs: deletion typo, substitution typo, insertion
+    * typo, garble with no candidates. */
+  val SuggestQuerySet: Seq[(Int, String)] = Seq(
+    1 -> "tble", 2 -> "spak", 3 -> "querry", 4 -> "zzzzzzzz")
+
+  /** ES term suggester: corpus-dictionary corrections within 2 edits,
+    * ranked (distance, df desc, term). */
+  private def qFtSuggest(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.termSuggest(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      SuggestQuerySet)
+
+  /** Per-field boosts for the boosted multi_match (text^2, source). */
+  val BoostedFieldsBoosts: Seq[Double] = Seq(2.0, 1.0)
+
+  /** ES multi_match best_fields with field boosts (fields:
+    * ["text^2", "source"]): each field's score multiplies its boost
+    * before the max combines. */
+  private def qFtBoostedFields(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.multiMatchTopK(s, tbl(s, dir, "documents"), col("doc_id"),
+      Seq(col("text"), col("source")), MultiMatchQuerySet,
+      boosts = BoostedFieldsBoosts)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
+  /** ES has_child (join field), score_mode=sum: rank sources by the
+    * summed match scores of their member docs. */
+  private def qFtHasChild(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.hasChildTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      col("source"), TermsAggQuerySet, scoreMode = "sum")
+      .select(col("qid"), col("rank"), col("parent"),
+        format_string("%.4f", col("score")).as("score"))
+
+  val FunctionScoreFactor = 0.01
+
+  /** ES function_score field_value_factor (log1p, multiply): BM25 *
+    * ln(1 + 0.01 * n_chars) — the popularity-boost staple. */
+  private def qFtFunctionScore(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.functionScoreTopK(s, tbl(s, dir, "documents"), col("doc_id"), col("text"),
+      HistogramQuerySet, col("n_chars"), FunctionScoreFactor)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        format_string("%.4f", col("score")).as("score"))
+
   /** date_histogram query set over the events stream: two-type match,
     * single type, absent type. */
   val DateHistogramQuerySet: Seq[(Int, String)] = Seq(
@@ -1253,6 +1314,11 @@ object SparkEntry {
     "ft_query_string"     -> (qFtQueryString _),
     "ft_composite_agg"    -> (qFtCompositeAgg _),
     "ft_filters_agg"      -> (qFtFiltersAgg _),
+    "ft_rescore"          -> (qFtRescore _),
+    "ft_suggest"          -> (qFtSuggest _),
+    "ft_boosted_fields"   -> (qFtBoostedFields _),
+    "ft_has_child"        -> (qFtHasChild _),
+    "ft_function_score"   -> (qFtFunctionScore _),
     "ing_docmap"          -> (qIngDocmap _),
     "code_docmap"         -> (qCodeDocmap _),
     "code_ft_topk"        -> (qCodeFtTopk _),

@@ -181,10 +181,14 @@ object Main {
     * Phrase-prefix serves ES match_phrase_prefix (autocomplete: exact
     * leading tokens + capped expansion of the last). Prefix / fuzzy /
     * wildcard modes serve the DSL's term-dictionary expansions
-    * ([[graft.query.QueryDsl]]) through the same WAND handle. */
+    * ([[graft.query.QueryDsl]]) through the same WAND handle. `--qs`
+    * serves the flat Lucene query_string grammar (+must / -must_not /
+    * bare should / "phrase" / prefix*) from the index — the Kibana
+    * search-bar surface, compiled onto the pruned positional read. */
   final case class QueryArgs(text: String, k: Option[Int], phrase: Boolean, slop: Int,
                              prefix: Boolean = false, fuzzy: Boolean = false,
-                             wildcard: Boolean = false, phrasePrefix: Boolean = false)
+                             wildcard: Boolean = false, phrasePrefix: Boolean = false,
+                             qs: Boolean = false)
 
   def parseQueryArgs(rest: List[String]): QueryArgs = {
     var phrase = false
@@ -193,6 +197,7 @@ object Main {
     var fuzzy = false
     var wildcard = false
     var phrasePrefix = false
+    var qs = false
     val pos = scala.collection.mutable.ListBuffer.empty[String]
     var it = rest
     while (it.nonEmpty) it = it match {
@@ -201,6 +206,7 @@ object Main {
       case "--prefix" :: t => prefix = true; t
       case "--fuzzy" :: t => fuzzy = true; t
       case "--wildcard" :: t => wildcard = true; t
+      case "--qs" :: t => qs = true; t
       case "--slop" :: v :: t => slop = v.toInt; t
       case "--slop" :: Nil =>
         throw new IllegalArgumentException("--slop needs a value")
@@ -215,10 +221,10 @@ object Main {
         "(quote multi-word text)")
     require(slop == 0 || phrase || phrasePrefix, "--slop requires --phrase/--phrase-prefix")
     require(slop >= 0, s"slop must be >= 0, got $slop")
-    require(Seq(phrase, prefix, fuzzy, wildcard, phrasePrefix).count(identity) <= 1,
-      "--phrase, --phrase-prefix, --prefix, --fuzzy and --wildcard are mutually exclusive")
+    require(Seq(phrase, prefix, fuzzy, wildcard, phrasePrefix, qs).count(identity) <= 1,
+      "--phrase, --phrase-prefix, --prefix, --fuzzy, --wildcard and --qs are mutually exclusive")
     QueryArgs(pos.head, pos.lift(1).map(_.toInt), phrase, slop, prefix, fuzzy,
-      wildcard, phrasePrefix)
+      wildcard, phrasePrefix, qs)
   }
 
   /** Serve one CLI query — WAND top-k, phrase/proximity, phrase-prefix,
@@ -238,6 +244,8 @@ object Main {
       graft.query.QueryDsl.fuzzyTopK(spark, indexDir, Seq(1 -> a.text), cfg = c)
     else if (a.wildcard)
       graft.query.QueryDsl.wildcardTopK(spark, indexDir, Seq(1 -> a.text), cfg = c)
+    else if (a.qs)
+      graft.query.QueryDsl.queryStringTopKIndexed(spark, indexDir, Seq(1 -> a.text), cfg = c)
     else Wand.topK(spark, indexDir, Seq(1 -> a.text), c)
   }
 

@@ -111,6 +111,13 @@ object QueryDsl {
     val weighted = post.join(broadcast(qdf), "term")
       .withColumn("w",
         BM25.weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
+    boolAggregate(weighted)
+  }
+
+  /** The single role-algebra aggregation over weighted role rows —
+    * shared by the corpus bool/query_string paths and the indexed
+    * query_string path (which feeds it pruned segment postings). */
+  private[query] def boolAggregate(weighted: DataFrame): DataFrame = {
     val grouped = weighted
       .groupBy("qid", "doc_id")
       .agg(
@@ -261,21 +268,24 @@ object QueryDsl {
     * doubles is exact. */
   def multiMatchTopK(spark: SparkSession, docs: DataFrame, idCol: Column,
                      fields: Seq[Column], queries: Seq[(Int, String)],
-                     cfg: EngineConfig = EngineConfig.default): DataFrame = {
+                     cfg: EngineConfig = EngineConfig.default,
+                     boosts: Seq[Double] = Nil): DataFrame = {
     import spark.implicits._
     require(fields.nonEmpty, "multi_match needs >= 1 field")
+    require(boosts.isEmpty || boosts.size == fields.size,
+      "multi_match boosts must pair with fields")
     val qterms = queries.flatMap { case (qid, text) =>
       val ts = CodeTokenizer.queryTerms(text)
       ts.map(t => (qid, t, ts.size))
     }.toDF("qid", "term", "n_terms")
-    val perField = fields.map { fcol =>
-      val post = Postings.build(docs, idCol, fcol)
-      val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, fcol))
-      val qdf = qterms.join(Postings.docFreq(post), "term")
-      val weighted = post.join(broadcast(qdf), "term")
-        .withColumn("w",
-          BM25.weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
-      BM25.scored(weighted).select("qid", "doc_id", "score")
+    // ES field boosts (fields: ["text^2", ...]) multiply THAT field's
+    // score before best_fields combines — one exact IEEE multiply per
+    // field, identity when the boost is 1.0 (x * 1.0 == x)
+    val bs = if (boosts.isEmpty) fields.map(_ => 1.0) else boosts
+    val perField = fields.zip(bs).map { case (fcol, boost) =>
+      val (weighted, _, _, _) = matchPipeline(docs, idCol, fcol, qterms, cfg)
+      BM25.scored(weighted)
+        .select(col("qid"), col("doc_id"), (col("score") * lit(boost)).as("score"))
     }
     val best = perField.reduce(_ unionByName _)
       .groupBy("qid", "doc_id").agg(max(col("score")).as("score"))
@@ -817,24 +827,11 @@ object QueryDsl {
                       cfg: EngineConfig = EngineConfig.default): DataFrame = {
     import spark.implicits._
     val parsed = queries.map { case (qid, s) => qid -> parseQueryString(s) }
-    // literal role rows: terms analyze; phrase members become musts
-    val termRows = parsed.flatMap { case (qid, cls) =>
-      cls.flatMap {
-        case QsTerm(role, text) => CodeTokenizer.queryTerms(text).map(t => (qid, t, role))
-        case QsPhrase("must_not", _) => Nil
-        case QsPhrase(_, text) => CodeTokenizer.queryTerms(text).map(t => (qid, t, "must"))
-        case QsPrefix(_, _) => Nil
-      }
-    }.distinct
     // prefix expansions: ONE distributed metadata job for every prefix
     // clause (df-table join + per-clause window), bounded collect of
     // <= clauses x maxExpansions rows — the same boundedness as the
     // handle's term-dict expansion
-    val prefixClauses = parsed.flatMap { case (qid, cls) =>
-      cls.collect { case QsPrefix(role, p) =>
-        (qid, p.toLowerCase(java.util.Locale.ROOT), role)
-      }
-    }
+    val prefixClauses = qsPrefixClauses(parsed)
     val expRows: Seq[(Int, String, String)] =
       if (prefixClauses.isEmpty) Nil
       else {
@@ -850,27 +847,106 @@ object QueryDsl {
           .select("qid", "term", "role").collect()
           .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
       }
-    val allRows = (termRows ++ expRows).distinct
-    require(allRows.map { case (qid, t, _) => (qid, t) }.distinct.size == allRows.size,
-      "query_string: a term landed in two roles of one query")
-    val nMust = allRows.filter(_._3 == "must").groupBy(_._1).view.mapValues(_.size).toMap
-    val roleRows = allRows.map { case (qid, t, role) =>
-      val m = nMust.getOrElse(qid, 0)
-      (qid, t, role, m, 0, if (m > 0) 0 else 1)
-    }.toDF("qid", "term", "role", "n_must", "n_filter", "n_msm")
+    val roleRows = qsRoleRows(spark, parsed, expRows)
     val scored = boolScored(spark, docs, idCol, contentCol, roleRows, cfg)
-    // phrase adjacency constraints from positional postings
-    val phrases = parsed.flatMap { case (qid, cls) =>
+    val phrases = qsPhrases(parsed)
+    if (phrases.isEmpty) return BM25.rankTopK(scored, cfg.topK)
+    val posPost = Postings.buildPositional(docs, idCol, contentCol)
+      .select("term", "doc_id", "positions")
+    BM25.rankTopK(qsConstrain(spark, scored, posPost, phrases), cfg.topK)
+  }
+
+  /** query_string served from the SEGMENT INDEX — the operational
+    * (CLI) path: expansions resolve against the handle's cached term
+    * dictionary, role-term postings come from the three-level pruned
+    * positional read (shard dir -> thash row-group stats -> exact
+    * term), per-term df and the BM25 stats come from the same pruned
+    * read + persisted index stats, and the role aggregation / phrase
+    * constraints are the exact same fold as the corpus path — spec
+    * pins rank AND score identity between the two. */
+  def queryStringTopKIndexed(spark: SparkSession, indexDir: String,
+                             queries: Seq[(Int, String)],
+                             maxExpansions: Int = MaxExpansions,
+                             cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    val h = Wand.handleFor(spark, indexDir, cfg)
+    val parsed = queries.map { case (qid, s) => qid -> parseQueryString(s) }
+    val expRows = qsPrefixClauses(parsed).flatMap { case (qid, p, role) =>
+      h.expandPrefix(p, maxExpansions).map(t => (qid, t, role))
+    }
+    val roleRows = qsRoleRows(spark, parsed, expRows)
+    val phrases = qsPhrases(parsed)
+    val allTerms = (qsTermRows(parsed).map(_._2) ++ expRows.map(_._2) ++
+      phrases.flatMap(_._3)).distinct
+    if (allTerms.isEmpty)
+      return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
+    val (n, avgdl) = graft.index.SegmentBuilder.readStats(spark, indexDir)
+    val posPost = BM25.prunedPositionalPostings(spark, indexDir, allTerms)
+    // per-term df from the pruned read (bounded by the query's terms)
+    val dfTbl = posPost.groupBy("term").agg(count(lit(1)).as("df"))
+    val weighted = posPost.join(broadcast(roleRows.join(dfTbl, "term")), "term")
+      .withColumn("w",
+        BM25.weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
+    val scored = boolAggregate(weighted)
+    val constrained =
+      if (phrases.isEmpty) scored
+      else qsConstrain(spark, scored, posPost.select("term", "doc_id", "positions"), phrases)
+    BM25.rankTopK(constrained, cfg.topK)
+  }
+
+  /** Literal role rows of a parsed query_string batch: terms analyze;
+    * required-phrase members become musts; exclusion-phrase members
+    * carry no role. */
+  private def qsTermRows(parsed: Seq[(Int, Seq[QsClause])]): Seq[(Int, String, String)] =
+    parsed.flatMap { case (qid, cls) =>
+      cls.flatMap {
+        case QsTerm(role, text) => CodeTokenizer.queryTerms(text).map(t => (qid, t, role))
+        case QsPhrase("must_not", _) => Nil
+        case QsPhrase(_, text) => CodeTokenizer.queryTerms(text).map(t => (qid, t, "must"))
+        case QsPrefix(_, _) => Nil
+      }
+    }.distinct
+
+  private def qsPrefixClauses(parsed: Seq[(Int, Seq[QsClause])]): Seq[(Int, String, String)] =
+    parsed.flatMap { case (qid, cls) =>
+      cls.collect { case QsPrefix(role, p) =>
+        (qid, p.toLowerCase(java.util.Locale.ROOT), role)
+      }
+    }
+
+  private def qsPhrases(parsed: Seq[(Int, Seq[QsClause])]): Seq[(Int, String, Seq[String])] =
+    parsed.flatMap { case (qid, cls) =>
       cls.collect { case QsPhrase(role, text) =>
         (qid, role, CodeTokenizer.tokenize(text).toSeq)
       }
     }.filter(_._3.nonEmpty)
-    if (phrases.isEmpty) return BM25.rankTopK(scored, cfg.topK)
+
+  /** Role rows (literals + expansions) with the per-query must counter
+    * and the Lucene default minimum_should_match. */
+  private def qsRoleRows(spark: SparkSession, parsed: Seq[(Int, Seq[QsClause])],
+                         expRows: Seq[(Int, String, String)]): DataFrame = {
+    import spark.implicits._
+    val allRows = (qsTermRows(parsed) ++ expRows).distinct
+    require(allRows.map { case (qid, t, _) => (qid, t) }.distinct.size == allRows.size,
+      "query_string: a term landed in two roles of one query")
+    val nMust = allRows.filter(_._3 == "must").groupBy(_._1).view.mapValues(_.size).toMap
+    allRows.map { case (qid, t, role) =>
+      val m = nMust.getOrElse(qid, 0)
+      (qid, t, role, m, 0, if (m > 0) 0 else 1)
+    }.toDF("qid", "term", "role", "n_must", "n_filter", "n_msm")
+  }
+
+  /** Phrase adjacency constraints over a (term, doc_id, positions)
+    * postings source: required phrases must ALL match (count of
+    * distinct matched pids == the query's required count), exclusion
+    * phrases anti-join — shared verbatim by the corpus and indexed
+    * query_string paths. */
+  private def qsConstrain(spark: SparkSession, scored: DataFrame, posPost: DataFrame,
+                          phrases: Seq[(Int, String, Seq[String])]): DataFrame = {
+    import spark.implicits._
     val pq = phrases.zipWithIndex.flatMap { case ((qid, role, ts), pid) =>
       ts.zipWithIndex.map { case (t, off) => (qid, pid, role, t, off, ts.size) }
     }.toDF("qid", "pid", "role", "term", "off", "m")
-    val posPost = Postings.buildPositional(docs, idCol, contentCol)
-      .select("term", "doc_id", "positions")
     val phraseHit = posPost.join(broadcast(pq), "term")
       .groupBy("qid", "pid", "doc_id")
       .agg(count(lit(1)).as("got"), first(col("m")).as("m"),
@@ -888,14 +964,13 @@ object QueryDsl {
       .groupBy("qid", "doc_id").agg(countDistinct(col("pid")).as("req_got"))
     val excluded = phraseHit.filter(col("role") === "must_not")
       .select("qid", "doc_id").distinct().withColumn("excl", lit(1))
-    val constrained = scored
+    scored
       .join(broadcast(reqPerQid), Seq("qid"), "left")
       .join(reqMatched, Seq("qid", "doc_id"), "left")
       .filter(coalesce(col("req_got"), lit(0L)) === coalesce(col("n_req"), lit(0)))
       .join(excluded, Seq("qid", "doc_id"), "left")
       .filter(col("excl").isNull)
       .select("qid", "doc_id", "score")
-    BM25.rankTopK(constrained, cfg.topK)
   }
 
   /** ES dis_max over per-field match sub-queries with a non-zero
@@ -1203,6 +1278,173 @@ object QueryDsl {
       .join(matched, "doc_id")
       .groupBy("qid").agg(counts.head, counts.tail: _*)
       .orderBy("qid")
+  }
+
+  /** ES rescore API (total mode, the default): the top `windowSize`
+    * hits of the match query — and ONLY those — are re-scored as
+    * query_weight * original + rescore_query_weight * secondary, where
+    * the secondary query is a match_phrase whose score is the shared
+    * member-term BM25 fold for docs where the phrase occurs adjacently
+    * (0.0 otherwise — adding rw * 0.0 is exact). Every rescore-side
+    * computation is restricted to the window FIRST (a broadcast of
+    * <= queries x windowSize ids onto the positional postings), so the
+    * rescore cost is bounded by the window at any corpus size — the ES
+    * contract that makes expensive queries affordable as rescorers.
+    *
+    * Output contract identical to [[BM25.topK]]. */
+  def rescoreTopK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                  queries: Seq[(Int, String, String)], windowSize: Int,
+                  queryWeight: Double = 1.0, rescoreWeight: Double = 1.0,
+                  cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    val baseQ = queries.flatMap { case (qid, text, _) =>
+      val ts = CodeTokenizer.queryTerms(text)
+      ts.map(t => (qid, t, ts.size))
+    }.toDF("qid", "term", "n_terms")
+    val (weighted, post, n, avgdl) = matchPipeline(docs, idCol, contentCol, baseQ, cfg)
+    val window = BM25.rankTopK(BM25.scored(weighted), windowSize)
+      .select("qid", "doc_id", "score")
+    val winIds = window.select("qid", "doc_id")
+    val phrases = queries.map { case (qid, _, ph) =>
+      (qid, CodeTokenizer.tokenize(ph).toSeq)
+    }.filter(_._2.nonEmpty)
+    val pq = phrases.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, off) => (qid, t, off, ts.size) }
+    }.toDF("qid", "term", "off", "m")
+    val posPost = Postings.buildPositional(docs, idCol, contentCol)
+      .select("term", "doc_id", "positions")
+    val adj = posPost.join(broadcast(pq), "term")
+      .join(broadcast(winIds), Seq("qid", "doc_id"), "left_semi")
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("got"), first(col("m")).as("m"),
+        sort_array(collect_list(struct(col("off"), col("positions")))).as("lists"))
+      .filter(col("got") === col("m"))
+      .filter(OrderedSpanMatchExpr.matches(
+        transform(col("lists"), x => x.getField("positions")), lit(0)))
+      .select("qid", "doc_id")
+    val phraseQ = phrases.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => (qid, t, ts.distinct.size))
+    }.toDF("qid", "term", "n_terms")
+    // secondary scoring REUSES the base pipeline's postings plan and
+    // already-collected stats (no second stats job / tokenize pass),
+    // window-restricted BEFORE the query fan-out and the weighting: df
+    // stays corpus-level (ES rescorers score with index stats), so the
+    // restriction changes cost, never scores
+    val winDocs = winIds.select("doc_id").distinct()
+    val w2 = post
+      .join(broadcast(winDocs), Seq("doc_id"), "left_semi")
+      .join(broadcast(phraseQ.join(Postings.docFreq(post), "term")), "term")
+      .withColumn("w",
+        BM25.weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
+    val sec = BM25.scored(
+        w2.join(broadcast(winIds), Seq("qid", "doc_id"), "left_semi"))
+      .join(adj, Seq("qid", "doc_id"), "left_semi")
+      .withColumnRenamed("score", "sec_score")
+    val rescored = window.join(sec, Seq("qid", "doc_id"), "left")
+      .select(col("qid"), col("doc_id"),
+        (lit(queryWeight) * col("score") +
+          lit(rescoreWeight) * coalesce(col("sec_score"), lit(0.0))).as("score"))
+    BM25.rankTopK(rescored, cfg.topK)
+  }
+
+  /** ES term suggester ("did you mean"): for each input term, candidate
+    * corrections from the corpus term dictionary within `maxDist`
+    * classic Levenshtein edits (the |length delta| pre-filter cannot
+    * exclude a true candidate), the input itself excluded, ranked by
+    * (distance asc, df desc, term asc) — similarity first, popularity
+    * second, deterministic ties — top `size`. The candidate set is a
+    * distributed filter over the (term, df) metadata, never postings;
+    * the ranking window partitions per input over only the distance-
+    * qualified candidates. Documented deviation: classic Levenshtein on
+    * both engine and oracle (ES uses Damerau).
+    *
+    * Output: (qid, rank, suggestion, dist, df). */
+  def termSuggest(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                  inputs: Seq[(Int, String)], maxDist: Int = 2,
+                  size: Int = 5): DataFrame = {
+    import spark.implicits._
+    val post = Postings.build(docs, idCol, contentCol)
+    val q = inputs.map { case (qid, t) =>
+      (qid, t.trim.toLowerCase(java.util.Locale.ROOT))
+    }.toDF("qid", "input")
+    Postings.docFreq(post).join(broadcast(q),
+        col("term") =!= col("input") &&
+          abs(length(col("term")) - length(col("input"))) <= maxDist &&
+          levenshtein(col("term"), col("input")) <= maxDist)
+      .withColumn("dist", levenshtein(col("term"), col("input")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("dist"), col("df").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= size)
+      .select(col("qid"), col("rank"), col("term").as("suggestion"),
+        col("dist").cast("long").as("dist"), col("df"))
+      .orderBy("qid", "rank")
+  }
+
+  /** ES has_child query (join field): rank PARENTS by their children's
+    * match scores — parent key = `parentCol`, children = the docs
+    * themselves, combined per the ES score_mode ("max", "sum", or
+    * "avg"; "none" is a plain semi-join — use filteredTopK). The child
+    * scoring is the shared match pipeline; the parent rollup is ONE
+    * groupBy on (qid, parent) — max/sum of finite doubles are exact
+    * (sum folds in child doc_id order for bit-stable association), avg
+    * divides the ordered sum by the exact child count.
+    *
+    * Output: (qid, rank, parent, score) — ranks (score desc, parent
+    * asc). */
+  def hasChildTopK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                   parentCol: Column, queries: Seq[(Int, String)], scoreMode: String,
+                   cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    require(Set("max", "sum", "avg")(scoreMode), s"unsupported score_mode <$scoreMode>")
+    val q = queries.flatMap { case (qid, t) =>
+      val ts = CodeTokenizer.queryTerms(t)
+      ts.map(x => (qid, x, ts.size))
+    }.toDF("qid", "term", "n_terms")
+    val (weighted, _, _, _) = matchPipeline(docs, idCol, contentCol, q, cfg)
+    val scored = BM25.scored(weighted)
+      .join(docs.select(idCol.as("doc_id"), parentCol.as("parent")), "doc_id")
+    val rolled = scored.groupBy("qid", "parent").agg(
+      (scoreMode match {
+        case "max" => max(col("score"))
+        case "sum" => aggregate(
+          sort_array(collect_list(struct(col("doc_id"), col("score")))),
+          lit(0.0), (acc, x) => acc + x.getField("score"))
+        case "avg" => aggregate(
+            sort_array(collect_list(struct(col("doc_id"), col("score")))),
+            lit(0.0), (acc, x) => acc + x.getField("score")) /
+          count(lit(1)).cast("double")
+      }).as("score"))
+    rolled
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("parent"))).cast("long"))
+      .filter(col("rank") <= cfg.topK)
+      .select("qid", "rank", "parent", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** ES function_score, field_value_factor (modifier=log1p,
+    * boost_mode=multiply — the popularity-boost staple): final score =
+    * BM25 * ln(1 + factor * field). The factor column joins the
+    * already-scored hits (one co-partitioned join after the score
+    * aggregation), and the function arithmetic is the same IEEE
+    * expression on engine and oracle (ln = StrictMath.log on both).
+    * Output contract identical to [[BM25.topK]]. */
+  def functionScoreTopK(spark: SparkSession, docs: DataFrame, idCol: Column,
+                        contentCol: Column, queries: Seq[(Int, String)],
+                        fieldCol: Column, factor: Double,
+                        cfg: EngineConfig = EngineConfig.default): DataFrame = {
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, t) =>
+      val ts = CodeTokenizer.queryTerms(t)
+      ts.map(x => (qid, x, ts.size))
+    }.toDF("qid", "term", "n_terms")
+    val (weighted, _, _, _) = matchPipeline(docs, idCol, contentCol, q, cfg)
+    val boosted = BM25.scored(weighted)
+      .join(docs.select(idCol.as("doc_id"), fieldCol.cast("double").as("fv")), "doc_id")
+      .select(col("qid"), col("doc_id"),
+        (col("score") * log(lit(1.0) + lit(factor) * col("fv"))).as("score"))
+    BM25.rankTopK(boosted, cfg.topK)
   }
 
   /** more_like_this top-k: for each (qid, source doc), select the

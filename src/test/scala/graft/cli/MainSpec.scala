@@ -195,6 +195,10 @@ class MainSpec extends SparkSuite {
       Main.QueryArgs("a b", None, phrase = false, slop = 1, phrasePrefix = true))
     assertThrows[IllegalArgumentException](
       Main.parseQueryArgs(List("--wildcard", "--prefix", "x")))
+    assert(Main.parseQueryArgs(List("--qs", "+a -b")) ===
+      Main.QueryArgs("+a -b", None, phrase = false, slop = 0, qs = true))
+    assertThrows[IllegalArgumentException](
+      Main.parseQueryArgs(List("--qs", "--phrase", "x")))
   }
 
   test("CLI query serves phrase and proximity from the positional index (ES match_phrase operability)") {
@@ -249,6 +253,15 @@ class MainSpec extends SparkSuite {
         Main.QueryArgs("beta alp", None, phrase = false, slop = 0,
           phrasePrefix = true), cfg).collect().isEmpty,
         "match_phrase_prefix is order-sensitive")
+      // query_string mode: must + must_not + phrase from the index
+      val qsHit = Main.runQuery(spark, dir,
+        Main.QueryArgs("+cliphrase \"alpha beta\"", None, phrase = false, slop = 0,
+          qs = true), cfg).collect()
+      assert(qsHit.length === 1 && qsHit.head.getLong(2) === 980001L)
+      assert(Main.runQuery(spark, dir,
+        Main.QueryArgs("+cliphrase -needle", None, phrase = false, slop = 0,
+          qs = true), cfg).collect().isEmpty,
+        "query_string must_not excludes through the indexed path")
     } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 

@@ -597,6 +597,21 @@ class QueryDslSpec extends SparkSuite {
     assert(!r.contains(3), "absent must term empties the query")
   }
 
+  test("query_string indexed serving is rank- and score-identical to the corpus path") {
+    val dir = indexOf(qsDocs: _*)
+    val d = df(qsDocs: _*)
+    val qs = Seq(
+      1 -> "+alpha -delta",
+      2 -> "\"alpha beta\" gamma",
+      3 -> "alp* -\"alpha beta\"",
+      4 -> "+zzz alpha")
+    val corpus = hits(queryStringTopK(spark, d, col("doc_id"), col("text"), qs))
+    val indexed = hits(queryStringTopKIndexed(spark, dir, qs))
+    assert(corpus === indexed, "pruned segment serving == corpus computation, bit-equal")
+    assert(corpus(3).map(_._1).toSet === Set(3L, 4L),
+      "prefix expansion + phrase exclusion compose (adjacent docs out, word docs in)")
+  }
+
   test("query_string must-only compiles bit-equal to the bool must algebra") {
     val d = df(qsDocs: _*)
     val viaQs = hits(queryStringTopK(spark, d, col("doc_id"), col("text"),
@@ -656,6 +671,109 @@ class QueryDslSpec extends SparkSuite {
         "en_docs" -> (col("lang") === "en"),
         "big_docs" -> (col("n_chars") >= 400))).collect().head
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 2L, 1L)))
+  }
+
+  test("rescore: phrase bonus reorders inside the window only; no-match leaves base order") {
+    // base query 'alpha': doc 1 (tf 2) > doc 2 > doc 3 (longer). Doc 2
+    // and 3 contain the phrase 'beta gamma'; windowSize=2 keeps docs
+    // {1,2}, so doc 2 gets the bonus and overtakes doc 1 while doc 3
+    // (outside the window) must NOT be rescored into the result.
+    val d = df(
+      1L -> "alpha alpha",
+      2L -> "alpha beta gamma",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val base = hits(BM25.topK(spark, d, col("doc_id"), col("text"), Seq(1 -> "alpha")))
+    assert(base(1).map(_._1) === Seq(1L, 2L, 3L), "precondition: base order")
+    val r = hits(rescoreTopK(spark, d, col("doc_id"), col("text"),
+      Seq((1, "alpha", "beta gamma")), windowSize = 2))
+    assert(r(1).map(_._1) === Seq(2L, 1L),
+      "doc 2's phrase bonus overtakes; doc 3 stays outside the window")
+    val noMatch = hits(rescoreTopK(spark, d, col("doc_id"), col("text"),
+      Seq((1, "alpha", "zzz yyy")), windowSize = 2))
+    assert(noMatch(1).map { case (id, s) => id -> s } ===
+      base(1).take(2).map { case (id, s) => id -> s },
+      "absent rescore phrase: window scores unchanged (qw=rw=1, sec=0)")
+  }
+
+  test("rescore: reversed-order phrase earns no bonus (adjacency is ordered)") {
+    val d = df(1L -> "alpha beta gamma", 2L -> "alpha gamma beta")
+    val r = hits(rescoreTopK(spark, d, col("doc_id"), col("text"),
+      Seq((1, "alpha", "beta gamma")), windowSize = 10))
+    val base = hits(BM25.topK(spark, d, col("doc_id"), col("text"), Seq(1 -> "alpha")))
+    val baseByDoc = base(1).toMap
+    val rByDoc = r(1).toMap
+    assert(rByDoc(1L) > baseByDoc(1L), "in-order doc is boosted")
+    assert(rByDoc(2L) === baseByDoc(2L), "reversed-order doc is not")
+  }
+
+  test("term suggest: distance then popularity then term; input excluded; garble empty") {
+    // dictionary: 'table' (df 3), 'cable' (df 2), 'tables' (df 1)
+    val d = df(
+      1L -> "table cable", 2L -> "table cable", 3L -> "table tables")
+    val r = termSuggest(spark, d, col("doc_id"), col("text"),
+      Seq(1 -> "tble", 2 -> "table", 3 -> "qqqqqqqq"))
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getString(2), x.getLong(3)))
+    val q1 = r.filter(_._1 == 1).map(t => (t._3, t._4)).toSeq
+    assert(q1 === Seq("table" -> 1L, "cable" -> 2L, "tables" -> 2L),
+      "dist 1 first, then dist-2 ties by df desc")
+    val q2 = r.filter(_._1 == 2).map(_._3).toSeq
+    assert(!q2.contains("table"), "the input term itself is never suggested")
+    assert(q2.contains("cable") && q2.contains("tables"), "neighbors still suggest")
+    assert(!r.exists(_._1 == 3), "no candidates within 2 edits -> no rows")
+  }
+
+  test("multi_match boosts: a boosted field's score multiplies before best_fields max") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha", "beta"), (2L, "beta", "alpha"))
+      .toDF("doc_id", "text", "source")
+    val q = Seq(1 -> "alpha")
+    def scores(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => x.getLong(2) -> x.getDouble(3)).toMap
+    val plain = scores(multiMatchTopK(spark, docs, col("doc_id"),
+      Seq(col("text"), col("source")), q))
+    val boosted = scores(multiMatchTopK(spark, docs, col("doc_id"),
+      Seq(col("text"), col("source")), q, boosts = Seq(1.0, 3.0)))
+    assert(boosted(1L) === plain(1L), "unboosted winning field unchanged (x * 1.0)")
+    assert(boosted(2L) === plain(2L) * 3.0, "source-field hit scales by its boost")
+    val ones = scores(multiMatchTopK(spark, docs, col("doc_id"),
+      Seq(col("text"), col("source")), q, boosts = Seq(1.0, 1.0)))
+    assert(ones === plain, "all-ones boosts are the identity")
+  }
+
+  test("has_child: parents roll up child scores per score_mode (sum/max/avg hand math)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha", "p1"), (2L, "alpha", "p1"),
+      (3L, "alpha alpha", "p2"), (4L, "beta", "p2"))
+      .toDF("doc_id", "text", "src")
+    val base = hits(BM25.topK(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"))).apply(1).toMap
+    def rolled(mode: String) =
+      hasChildTopK(spark, docs, col("doc_id"), col("text"), col("src"),
+        Seq(1 -> "alpha"), mode)
+        .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    val sum = rolled("sum")
+    assert(sum("p1") === base(1L) + base(2L), "sum folds the children")
+    assert(sum("p2") === base(3L))
+    val mx = rolled("max")
+    assert(mx("p1") === math.max(base(1L), base(2L)) && mx("p2") === base(3L))
+    val avg = rolled("avg")
+    assert(avg("p1") === (base(1L) + base(2L)) / 2.0)
+    assertThrows[IllegalArgumentException](rolled("none"))
+  }
+
+  test("function_score: field factor multiplies BM25 and reorders equal-text docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha", 100L), (2L, "alpha", 900L), (3L, "beta", 500L))
+      .toDF("doc_id", "text", "v")
+    val base = hits(BM25.topK(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"))).apply(1).toMap
+    val r = hits(functionScoreTopK(spark, docs, col("doc_id"), col("text"),
+      Seq(1 -> "alpha"), col("v"), factor = 0.01))
+    assert(r(1).map(_._1) === Seq(2L, 1L),
+      "equal BM25, bigger field value ranks first under log1p multiply")
+    val byDoc = r(1).toMap
+    assert(byDoc(2L) === base(2L) * math.log(1.0 + 0.01 * 900),
+      "score is exactly base * ln(1 + factor * field)")
   }
 
   test("mlt: tf/df thresholds select terms, source doc is excluded, absent doc yields nothing") {
