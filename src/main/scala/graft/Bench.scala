@@ -100,7 +100,7 @@ object Bench {
     "ft_range_agg", "ft_top_hits", "ft_extended_stats", "ft_explain",
     "ft_query_string", "ft_composite_agg", "ft_filters_agg",
     "ft_rescore", "ft_suggest", "ft_boosted_fields",
-    "ft_has_child", "ft_function_score",
+    "ft_has_child", "ft_function_score", "ft_pipeline_agg",
     "ing_docmap", "code_docmap", "code_ft_topk",
     "code_wand_topk",
     "dd_exact", "dd_minhash_lsh", "dd_cluster",

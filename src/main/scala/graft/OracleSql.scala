@@ -1046,6 +1046,34 @@ object OracleSql {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Pipeline-agg oracle: the date-histogram buckets (gap-filled) with
+    * cumulative_sum and derivative windows per qid — NULL derivative on
+    * each query's first bucket, the ES contract. */
+  private def ftPipelineAgg: String = {
+    val pairs = SparkEntry.DateHistogramQuerySet.flatMap { case (qid, text) =>
+      CodeTokenizer.queryTerms(text).map(t => s"($qid, '$t')")
+    }
+    s"""WITH etoks AS (SELECT event_id AS doc_id, ${CodeTokenizer.sqlTokenArray("event_type")} AS tokens FROM events),
+       |etokl AS (SELECT doc_id, unnest(tokens) AS term FROM etoks),
+       |epost AS (SELECT term, doc_id FROM etokl GROUP BY 1, 2),
+       |q(qid, term) AS (VALUES ${pairs.mkString(", ")}),
+       |m AS (SELECT DISTINCT q.qid, p.doc_id FROM epost p JOIN q ON p.term = q.term),
+       |occ AS (SELECT m.qid, date_trunc('day', e.ts)::DATE AS key, count(*) AS doc_count
+       |        FROM m JOIN events e ON m.doc_id = e.event_id GROUP BY 1, 2),
+       |bounds AS (SELECT qid, min(key) AS lo, max(key) AS hi FROM occ GROUP BY 1),
+       |span AS (SELECT qid, unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP, INTERVAL 1 DAY))::DATE AS key
+       |         FROM bounds),
+       |b AS (
+       |  SELECT s.qid, strftime(s.key, '%Y-%m-%d') AS day,
+       |    coalesce(o.doc_count, 0)::BIGINT AS doc_count
+       |  FROM span s LEFT JOIN occ o ON s.qid = o.qid AND s.key = o.key)
+       |SELECT qid, day, doc_count,
+       |  (sum(doc_count) OVER (PARTITION BY qid ORDER BY day
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_count,
+       |  (doc_count - lag(doc_count) OVER (PARTITION BY qid ORDER BY day))::BIGINT AS deriv
+       |FROM b ORDER BY qid, day""".stripMargin
+  }
+
   /** ES sort-by-field oracle: matching docs ranked by (n_chars desc,
     * doc_id asc) — a window formulation, deliberately different from
     * the engine's bounded top-k aggregation. */
@@ -1679,6 +1707,7 @@ object OracleSql {
     "ft_boosted_fields"   -> ftBoostedFields,
     "ft_has_child"        -> ftHasChild,
     "ft_function_score"   -> ftFunctionScore,
+    "ft_pipeline_agg"     -> ftPipelineAgg,
     "ing_docmap"          -> ingDocmap,
     "code_docmap"         -> codeDocmap,
     "code_ft_topk"        -> ftBm25(srcCte = codePostCte),

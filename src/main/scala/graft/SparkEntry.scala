@@ -717,6 +717,12 @@ object SparkEntry {
     QueryDsl.dateHistogramAgg(s, tbl(s, dir, "events"), col("event_id"),
       col("event_type"), DateHistogramQuerySet, col("ts"))
 
+  /** ES pipeline aggs (cumulative_sum + derivative) over the same
+    * date_histogram buckets — the Kibana trend pair. */
+  private def qFtPipelineAgg(s: SparkSession, dir: String): DataFrame =
+    QueryDsl.pipelineAgg(s, tbl(s, dir, "events"), col("event_id"),
+      col("event_type"), DateHistogramQuerySet, col("ts"))
+
   /** Terms-agg query set: multi-term match, hot single term, absent
     * term (zero buckets), rare term. */
   val TermsAggQuerySet: Seq[(Int, String)] = Seq(
@@ -1319,6 +1325,7 @@ object SparkEntry {
     "ft_boosted_fields"   -> (qFtBoostedFields _),
     "ft_has_child"        -> (qFtHasChild _),
     "ft_function_score"   -> (qFtFunctionScore _),
+    "ft_pipeline_agg"     -> (qFtPipelineAgg _),
     "ing_docmap"          -> (qIngDocmap _),
     "code_docmap"         -> (qCodeDocmap _),
     "code_ft_topk"        -> (qCodeFtTopk _),

@@ -1447,6 +1447,28 @@ object QueryDsl {
     BM25.rankTopK(boosted, cfg.topK)
   }
 
+  /** ES pipeline aggregations — cumulative_sum + derivative riding a
+    * date_histogram (the Kibana trend-chart pair): per-day counts with
+    * the min_doc_count=0 gap fill, then cum_count = running sum and
+    * deriv = delta vs the previous bucket (NULL on each query's first
+    * bucket, the ES derivative contract). ES computes pipeline aggs on
+    * the coordinator over the reduced bucket list; here they are
+    * windows PARTITIONED PER QUERY over the gap-filled buckets — the
+    * partition is bounded by the TIME SPAN in days, never the corpus,
+    * the same boundedness argument as the gap fill itself.
+    *
+    * Output: (qid, day, doc_count, cum_count, deriv). */
+  def pipelineAgg(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
+                  queries: Seq[(Int, String)], tsCol: Column): DataFrame = {
+    val buckets = dateHistogramAgg(spark, docs, idCol, contentCol, queries, tsCol)
+    val w = Window.partitionBy("qid").orderBy("day")
+    buckets
+      .withColumn("cum_count", sum(col("doc_count")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("deriv", col("doc_count") - lag(col("doc_count"), 1).over(w))
+      .orderBy("qid", "day")
+  }
+
   /** more_like_this top-k: for each (qid, source doc), select the
     * [[MltMaxTerms]] highest-tf*idf source-doc terms (tf >= MltMinTf,
     * df >= MltMinDf — the ES defaults; idf is the shared BM25 idf, ties

@@ -776,6 +776,23 @@ class QueryDslSpec extends SparkSuite {
       "score is exactly base * ln(1 + factor * field)")
   }
 
+  test("pipeline aggs: cumulative_sum runs across gap-filled buckets, derivative NULL on first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click", "2024-01-01 10:00:00"), (2L, "click", "2024-01-01 11:00:00"),
+      (3L, "click", "2024-01-03 09:00:00"), (4L, "view", "2024-01-02 09:00:00"))
+      .toDF("id", "etype", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val r = pipelineAgg(spark, docs, col("id"), col("etype"), Seq(1 -> "click"), col("ts"))
+      .collect().map(x => (x.getString(1), x.getLong(2), x.getLong(3),
+        if (x.isNullAt(4)) None else Some(x.getLong(4))))
+    assert(r.toSeq === Seq(
+      ("2024-01-01", 2L, 2L, None),
+      ("2024-01-02", 0L, 2L, Some(-2L)),
+      ("2024-01-03", 1L, 3L, Some(1L))),
+      "gap day participates in both pipelines; first-bucket derivative is NULL")
+  }
+
   test("mlt: tf/df thresholds select terms, source doc is excluded, absent doc yields nothing") {
     // 'widget' appears twice in doc 1 (tf>=2) and in 6 docs (df>=5);
     // 'gear' has tf 1 in doc 1 and df 2 — below both thresholds
