@@ -706,6 +706,18 @@ class QueryDslSpec extends SparkSuite {
     assert(rByDoc(2L) === baseByDoc(2L), "reversed-order doc is not")
   }
 
+  test("rescore plan: secondary scoring is window-restricted (semi-joins present, no cartesian)") {
+    val d = df(1L -> "alpha beta gamma", 2L -> "alpha gamma beta")
+    val plan = rescoreTopK(spark, d, col("doc_id"), col("text"),
+      Seq((1, "alpha", "beta gamma")), windowSize = 2)
+      .queryExecution.executedPlan.toString
+    // window doc-set semi, per-query window semi, adjacency semi — the
+    // restrictions that keep rescore cost window-bounded at any corpus
+    assert("LeftSemi".r.findAllIn(plan).size >= 3,
+      "the secondary pipeline must semi-join the window before weighting")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("term suggest: distance then popularity then term; input excluded; garble empty") {
     // dictionary: 'table' (df 3), 'cable' (df 2), 'tables' (df 1)
     val d = df(
