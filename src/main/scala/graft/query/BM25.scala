@@ -38,9 +38,101 @@ object BM25 {
       (tf + lit(k1) * (lit(1.0 - b) + (lit(b) * dl) / lit(avgdl)))
   }
 
+  /** Term-count threshold above which [[statsAndDf]] splits into two
+    * passes: one `array_contains` aggregate column per term is the
+    * single-pass shape, but past a few dozen terms (prefix/fuzzy
+    * expansions, MLT candidate vocabularies) the per-doc term probing
+    * and the aggregate width stop paying for the saved pass. */
+  private val StatsSinglePassMaxTerms = 24
+
+  /** ONE bounded stats job computing the BM25 scoring constants
+    * (N, avgdl) and per-term document frequency for a bounded term set.
+    * Replaces the former three-subtree shape — a doclens-only corpus
+    * tokenize for the stats plus a FULL-VOCABULARY docFreq aggregation
+    * whose shuffle existed only to be inner-joined down to the query's
+    * handful of terms (guide §1.2 step 1 / §2.3 "aggregate before you
+    * shuffle": df for k query terms never needs the whole term space
+    * shuffled; at 100 TB the vocabulary aggregation is corpus-sized).
+    *
+    * Exactness: n and avgdl are the same count/avg over the same
+    * tokenized rows (the doclen sum is an integer < 2^53, so the double
+    * sum is exact and order-independent); df(t) = number of docs whose
+    * kept-token array contains t, which is by construction the number
+    * of postings rows for t. Terms absent from the corpus are absent
+    * from the map — the former inner join with docFreq dropped them
+    * identically. Above [[StatsSinglePassMaxTerms]] the df side runs as
+    * a term-pruned postings aggregation (still never full-vocabulary);
+    * the values are identical either way. */
+  def statsAndDf(docs: DataFrame, idCol: Column, contentCol: Column,
+                 terms: Seq[String]): (Long, Double, Map[String, Long]) = {
+    val ts = terms.distinct
+    val tok = Postings.tokenized(docs, idCol, contentCol)
+    if (ts.size <= StatsSinglePassMaxTerms) {
+      val aggs = count(lit(1)).as("n") +: avg(col("doclen")).as("avgdl") +:
+        ts.map(t => count(when(array_contains(col("tokens"), t), 1)))
+      val row = tok.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(0)
+      val avgdl = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+      val dfMap = ts.zipWithIndex.flatMap { case (t, i) =>
+        val c = row.getLong(2 + i)
+        if (c > 0) Some(t -> c) else None
+      }.toMap
+      (n, avgdl, dfMap)
+    } else {
+      val r = tok.agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl")).head()
+      val n = r.getLong(0)
+      val avgdl = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+      val dfMap = Postings.build(docs, idCol, contentCol)
+        .filter(col("term").isInCollection(ts))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      (n, avgdl, dfMap)
+    }
+  }
+
+  /** Multi-field twin of [[statsAndDf]]: every field's (n, avgdl, df)
+    * comes out of ONE corpus scan (each field tokenized once inside the
+    * same projection) instead of one stats job per field — the
+    * multi_match/dis_max preamble. Values are identical to calling
+    * [[statsAndDf]] per field (same counts, same exact integer sums). */
+  def statsAndDfMulti(docs: DataFrame, idCol: Column, fields: Seq[Column],
+                      terms: Seq[String]): Seq[(Long, Double, Map[String, Long])] = {
+    val ts = terms.distinct
+    if (ts.size > StatsSinglePassMaxTerms || fields.size == 1)
+      return fields.map(f => statsAndDf(docs, idCol, f, ts))
+    val tok = docs.select(fields.zipWithIndex.map { case (f, i) =>
+      CodeTokenizer.tokensColFast(f).as(s"tokens_$i") }: _*)
+    val aggs: Seq[Column] = count(lit(1)).as("n") +:
+      fields.indices.flatMap { i =>
+        avg(size(col(s"tokens_$i")).cast("long")) +:
+          ts.map(t => count(when(array_contains(col(s"tokens_$i"), t), 1)))
+      }
+    val row = tok.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    fields.indices.map { i =>
+      val base = 1 + i * (1 + ts.size)
+      val avgdl = if (row.isNullAt(base)) 0.0 else row.getDouble(base)
+      val dfMap = ts.zipWithIndex.flatMap { case (t, j) =>
+        val c = row.getLong(base + 1 + j)
+        if (c > 0) Some(t -> c) else None
+      }.toMap
+      (n, avgdl, dfMap)
+    }
+  }
+
+  /** Empty ranked result with the [[Wand.Hit]] schema — shared early
+    * return for term-less query batches. */
+  private[query] def emptyHits(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
+  }
+
   /** Top-k BM25 per query over the uncompressed postings — the
-    * declarative scoring path (Catalyst plans broadcast of the tiny
-    * query-terms×df table; one shuffle for the per-doc sum).
+    * declarative scoring path: one bounded stats job ([[statsAndDf]]),
+    * then ONE corpus pass joining the postings against the broadcast
+    * (qid, term, df) literal table and one shuffle for the per-doc sum
+    * (formerly three corpus tokenizes and a full-vocabulary docFreq
+    * shuffle per call — guide §1.2 step 1).
     *
     * Output: (qid int, rank long, doc_id long, score double) where score
     * is summed in ascending term order (deterministic doubles) and rank
@@ -50,15 +142,17 @@ object BM25 {
            queries: Seq[(Int, String)], cfg: EngineConfig = EngineConfig.default,
            conjunctive: Boolean = false): DataFrame = {
     import spark.implicits._
-    val post = Postings.build(docs, idCol, contentCol)
-    val (n, avgdl) = Postings.corpusStats(Postings.doclens(docs, idCol, contentCol))
     val analyzed = queries.map { case (qid, text) => qid -> CodeTokenizer.queryTerms(text) }
-    val qterms = analyzed
-      .flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.size)) }
-      .toDF("qid", "term", "n_terms")
-    val dfTbl = Postings.docFreq(post)
-    // (qid, term, df): tiny — broadcast side of the postings join.
-    val qdf = qterms.join(dfTbl, "term")
+    val terms = analyzed.flatMap(_._2).distinct
+    if (terms.isEmpty) return emptyHits(spark)
+    val (n, avgdl, dfMap) = statsAndDf(docs, idCol, contentCol, terms)
+    // (qid, term, n_terms, df): driver-resolved literal — broadcast side
+    // of the postings join (absent terms drop here, exactly like the
+    // former inner join with the docFreq table)
+    val qdf = analyzed.flatMap { case (qid, ts) =>
+      ts.flatMap(t => dfMap.get(t).map(df => (qid, t, ts.size, df)))
+    }.toDF("qid", "term", "n_terms", "df")
+    val post = Postings.build(docs, idCol, contentCol)
     val weighted = post.join(broadcast(qdf), "term")
       .withColumn("w", weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
     scoreAndRank(weighted, cfg.topK, conjunctive)

@@ -46,6 +46,29 @@ object Wand {
 
   private val BoundInflate = 1.0 + 1e-9
 
+  /** Driver-side classic Levenshtein — the exact function Spark's
+    * `levenshtein` column evaluates (terms are ASCII by construction of
+    * the analyzer, so char units agree). Used by the batch fuzzy
+    * expansion to re-partition one job's candidates per input. */
+  private[query] def levenshteinDist(a: String, b: String): Int = {
+    val m = a.length; val n = b.length
+    var prev = Array.tabulate(n + 1)(identity)
+    var cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      cur(0) = i
+      var j = 1
+      while (j <= n) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
+  }
+
   /** One (term, salt) run restricted to docs in [lo, hi): lazily-decoded
     * cursor over its blocks. */
   private final class Cursor(val term: String, val idf: Double, val df: Long,
@@ -348,6 +371,60 @@ object Wand {
       dfTable.filter(col("term").startsWith(prefix))
         .orderBy("term").limit(maxExpansions)
         .collect().map(_.getString(0)).toSeq
+
+    /** Batch twin of [[expandPrefix]]: every prefix's expansion out of
+      * ONE metadata job (a batch of b prefixes formerly paid b
+      * scheduler round-trips of pure fixed cost — the per-query
+      * expansion collects were the serving latency, not the scan).
+      * Per-prefix results identical to [[expandPrefix]]. */
+    def expandPrefixBatch(prefixes: Seq[String], maxExpansions: Int): Map[String, Seq[String]] = {
+      val ps = prefixes.distinct
+      if (ps.isEmpty) return Map.empty
+      val cond = ps.map(p => col("term").startsWith(p)).reduce(_ || _)
+      val terms = dfTable.filter(cond).select("term")
+        .collect().map(_.getString(0))
+      ps.map(p => p ->
+        terms.iterator.filter(_.startsWith(p)).toSeq.sorted.take(maxExpansions)).toMap
+    }
+
+    /** Batch twin of [[expandFuzzy]] — every (term, maxDist) input's
+      * expansion out of ONE metadata job; per-input results identical
+      * (highest-df first, ties term-asc, capped). */
+    def expandFuzzyBatch(inputs: Seq[(String, Int)], maxExpansions: Int)
+        : Map[String, Seq[String]] = {
+      val ins = inputs.distinct
+      if (ins.isEmpty) return Map.empty
+      val cond = ins.map { case (t, d) =>
+        abs(length(col("term")) - lit(t.length)) <= d &&
+          levenshtein(col("term"), lit(t)) <= d
+      }.reduce(_ || _)
+      val cand = dfTable.filter(cond).select("term", "df")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      ins.map { case (t, d) =>
+        t -> cand.iterator.filter { case (c, _) =>
+            math.abs(c.length - t.length) <= d && levenshteinDist(c, t) <= d }
+          .toSeq
+          .sortBy { case (c, df) => (-df, c) }
+          .take(maxExpansions).map(_._1)
+      }.toMap
+    }
+
+    /** Batch twin of [[expandWildcard]]/[[expandRegex]] over compiled
+      * anchored patterns: one metadata job for the whole batch,
+      * per-pattern results identical (lexicographic-first cap). */
+    def expandRegexBatch(patterns: Seq[String], maxExpansions: Int)
+        : Map[String, Seq[String]] = {
+      val ps = patterns.distinct
+      if (ps.isEmpty) return Map.empty
+      val cond = ps.map(p => col("term").rlike(p)).reduce(_ || _)
+      val terms = dfTable.filter(cond).select("term")
+        .collect().map(_.getString(0))
+      val compiled = ps.map(p => p -> java.util.regex.Pattern.compile(p))
+      compiled.map { case (p, rx) =>
+        p -> terms.iterator.filter(t => rx.matcher(t).find()).toSeq
+          .sorted.take(maxExpansions)
+      }.toMap
+    }
 
     /** Index terms matching an ES wildcard pattern (`*` = any sequence
       * incl. empty, `?` = exactly one char), lexicographic-first capped
