@@ -891,11 +891,14 @@ object SparkEntry {
     * per-row invariant vs the source table (BASELINE.json input_hint). */
   private def qIngDocmap(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureIndex(s, dir)
+    // sort first, hash above (see q_ts_coercion): the sha2 battery must
+    // not re-run in the range sampler's pass
     s.read.parquet(s"$idx/docmap")
       .join(tbl(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"), col("sha"), col("doclen"), col("text"))
+      .orderBy("doc_id")
       .select(col("doc_id"), col("sha"), col("doclen"),
         (col("sha") === sha2(col("text"), 256)).as("sha_ok"))
-      .orderBy("doc_id")
   }
 
   /** The north-rule INPUT TABLE (BASELINE.json input_hint): the
@@ -907,10 +910,13 @@ object SparkEntry {
     * gate runs (fails loud rather than merging documents). */
   private def qCodeDocmap(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.CodeCorpus
+    // sort first, hash above (see q_ts_coercion)
     CodeCorpus.withDocIds(CodeCorpus.synthesize(s, dir))
       .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
-        sha2(col("content"), 256).as("sha"))
+        col("content"))
       .orderBy("doc_id")
+      .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(col("content"), 256).as("sha"))
   }
 
   /** Full-text BM25 over the input_hint corpus shape end-to-end:
@@ -1086,7 +1092,6 @@ object SparkEntry {
       .when(m === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
       .when(m === 2, unix_timestamp(col("ts")).cast("string"))
       .otherwise(lit("not-a-date"))
-    val withS = e.select(col("event_id"), str.as("s"))
     val epoch = expr("try_cast(s as bigint)")
     val parsed = coalesce(
       try_to_timestamp(col("s"), lit("yyyy-MM-dd'T'HH:mm:ss")),
@@ -1094,9 +1099,15 @@ object SparkEntry {
       when(epoch.isNotNull,
         when(epoch > 1000000000000L, timestamp_millis(epoch))
           .otherwise(timestamp_seconds(epoch))))
-    withS.select(col("event_id"), col("s"),
-      date_format(parsed, "yyyy-MM-dd HH:mm:ss").as("parsed"))
-      .orderBy("event_id")
+    // sort FIRST on the scan columns, parse ABOVE the sort: a global
+    // orderBy range-samples its child, so an expensive projection under
+    // it evaluates twice (TsProbe: 1.65s with the battery under the
+    // sort, 0.86 above it). Catalyst keeps projections above Sort, and
+    // rows/order are unchanged — the battery just runs once.
+    e.select(col("event_id"), col("ts")).orderBy("event_id")
+      .select(col("event_id"), str.as("s"))
+      .select(col("event_id"), col("s"),
+        date_format(parsed, "yyyy-MM-dd HH:mm:ss").as("parsed"))
   }
 
   /** Broadcast-join analytics (TPC-H Q3 shape): top revenue orders for
@@ -1183,26 +1194,31 @@ object SparkEntry {
     val d = tbl(s, dir, "documents")
     val ws = split(trim(col("text")), "\\s+")
     val nws = size(ws).cast("long")
-    val stops = size(filter(ws, t => t.isin(CodeTokenizer.Stopwords: _*))).cast("long")
+    // native count-in-set: the HOF filter ran an interpreted lambda per
+    // token (equality property-tested in TokenizerSpec)
+    val stops = CodeTokenizer.countInSet(ws, CodeTokenizer.Stopwords)
     val punct = (length(col("text")) -
       length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long")
-    d.select(col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      nws.as("n_ws_tokens"),
-      punct.as("n_punct"),
-      format_string("%.9f", stops.cast("double") / nws).as("stop_ratio"),
-      format_string("%.9f", length(col("text")).cast("double") / nws).as("chars_per_token"))
-      .orderBy("doc_id")
+    // sort first, project above: see q_ts_coercion (orderBy samples its
+    // child, doubling any expression battery under it)
+    d.select(col("doc_id"), col("text")).orderBy("doc_id")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nws.as("n_ws_tokens"),
+        punct.as("n_punct"),
+        format_string("%.9f", stops.cast("double") / nws).as("stop_ratio"),
+        format_string("%.9f", length(col("text")).cast("double") / nws).as("chars_per_token"))
   }
 
   /** Token counting: whitespace tokens + BPE-ish regex pieces. */
   private def qTxtTokens(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents").select(col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
-      size(regexp_extract_all(col("text"),
-        lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("n_bpe"),
-      size(CodeTokenizer.tokensColFast(col("text"))).cast("long").as("n_analyzed"))
-      .orderBy("doc_id")
+    // sort first, tokenize above (see q_ts_coercion)
+    tbl(s, dir, "documents").select(col("doc_id"), col("text")).orderBy("doc_id")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("n_bpe"),
+        size(CodeTokenizer.tokensColFast(col("text"))).cast("long").as("n_analyzed"))
 
   /** Repetition scoring (Gopher-style quality filter): duplicate-word
     * and duplicate-bigram ratios per document — high values flag
@@ -1224,41 +1240,46 @@ object SparkEntry {
     // the synthetic corpora and bounded by the corpus generator.
     // isNotNull guard: format_string(NULL) prints the STRING "null"
     // while the oracle's printf propagates SQL NULL.
-    d.select(col("doc_id"),
-      nw.as("n_words"),
-      ndw.as("n_distinct_words"),
-      when(nw.isNotNull,
-        format_string("%.9f", lit(1.0) - ndw.cast("double") / nw)).as("dup_word_ratio"),
-      when(nb > 0, format_string("%.9f", lit(1.0) - ndb.cast("double") / nb))
-        .as("dup_bigram_ratio"))
-      .orderBy("doc_id")
+    // sort first, project above (see q_ts_coercion)
+    d.select(col("doc_id"), col("text")).orderBy("doc_id")
+      .select(col("doc_id"),
+        nw.as("n_words"),
+        ndw.as("n_distinct_words"),
+        when(nw.isNotNull,
+          format_string("%.9f", lit(1.0) - ndw.cast("double") / nw)).as("dup_word_ratio"),
+        when(nb > 0, format_string("%.9f", lit(1.0) - ndb.cast("double") / nb))
+          .as("dup_bigram_ratio"))
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
     * (deterministic near-dup prefilter). */
   private def qTxtFingerprint(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents").select(col("doc_id"),
-      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
-      .orderBy("doc_id")
+    // sort first, project above (see q_ts_coercion)
+    tbl(s, dir, "documents").select(col("doc_id"), col("text")).orderBy("doc_id")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
 
   /** Language-ID heuristic: marker-word hit counts, fixed priority
     * argmax (en > es > de > fr), 'und' when nothing matches. */
   private def qTxtLangid(s: SparkSession, dir: String): DataFrame = {
     val d = tbl(s, dir, "documents")
     val ws = split(lower(trim(col("text"))), "\\s+")
-    def hits(markers: Seq[String]) =
-      size(filter(ws, t => t.isin(markers: _*))).cast("long")
+    // native count-in-set per marker family (formerly an interpreted
+    // per-token lambda per family — 4x the corpus token stream through
+    // interpreted eval)
+    def hits(markers: Seq[String]) = CodeTokenizer.countInSet(ws, markers)
     val en = hits(LangMarkers("en")); val es = hits(LangMarkers("es"))
     val de = hits(LangMarkers("de")); val fr = hits(LangMarkers("fr"))
     val best = greatest(en, es, de, fr)
-    d.select(col("doc_id"), col("lang"),
-      when(best === 0, lit("und"))
-        .when(en === best, lit("en"))
-        .when(es === best, lit("es"))
-        .when(de === best, lit("de"))
-        .otherwise(lit("fr")).as("pred_lang"),
-      en.as("h_en"), es.as("h_es"), de.as("h_de"), fr.as("h_fr"))
-      .orderBy("doc_id")
+    // sort first, project above (see q_ts_coercion)
+    d.select(col("doc_id"), col("lang"), col("text")).orderBy("doc_id")
+      .select(col("doc_id"), col("lang"),
+        when(best === 0, lit("und"))
+          .when(en === best, lit("en"))
+          .when(es === best, lit("es"))
+          .when(de === best, lit("de"))
+          .otherwise(lit("fr")).as("pred_lang"),
+        en.as("h_en"), es.as("h_es"), de.as("h_de"), fr.as("h_fr"))
   }
 
   val LangMarkers: Map[String, Seq[String]] = Map(

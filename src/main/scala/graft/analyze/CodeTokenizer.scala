@@ -145,6 +145,14 @@ object CodeTokenizer {
     GraftColumnBridge.toColumn(CodeTokenizeExpr(GraftColumnBridge.toExpression(c)))
   }
 
+  /** Count of `arr` elements in `set` — native twin of
+    * `size(filter(arr, t => t.isin(set: _*))).cast("long")`; see
+    * [[CountInSetExpr]]. */
+  def countInSet(arr: Column, set: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.toColumn(CountInSetExpr(GraftColumnBridge.toExpression(arr), set))
+  }
+
   /** struct(doclen, pairs: array&lt;struct&lt;term, tf&gt;&gt;) in one eval —
     * see [[CodeTokenizeTfExpr]]. */
   def tokenTfCol(c: Column): Column = {
@@ -285,6 +293,48 @@ case class CodeTokenizePosExpr(child: org.apache.spark.sql.catalyst.expressions.
   }
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): CodeTokenizePosExpr = copy(c)
+}
+
+/** Count of array elements contained in a fixed string set — the
+  * native twin of `size(filter(arr, t => t.isin(set: _*)))` (the
+  * higher-order filter runs an interpreted lambda per element; at
+  * corpus scale that inner loop dominates the text-quality and lang-id
+  * scans — same rationale as [[ShinglesExpr]]). Null elements are not
+  * counted (isin(null) is null, which filter drops); a null array
+  * yields null (size(null) under non-legacy semantics, matched by the
+  * UnaryExpression null contract). Equality with the HOF form is
+  * property-tested in TokenizerSpec. */
+case class CountInSetExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                          set: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(t => s.add(UTF8String.fromString(t)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && lookup.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): CountInSetExpr =
+    copy(child = c)
 }
 
 /** Word n-gram shingles over an array<string> column — native sliding

@@ -263,12 +263,21 @@ object Dedup {
     * oracle computes the identical fold, bit-equal. The 100 TB path is
     * [[embedNearDupsLsh]]. */
   def embedNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    // each row's squared norm is computed ONCE before the pair join
+    // (dot(v, v) accumulates exactly like the fused cosine's na/nb —
+    // ascending index), so the O(n^2) pair scan pays one dot product
+    // per pair instead of three: cos = dot / (sqrt(nasq) * sqrt(nbsq))
+    // is the same IEEE expression the fused form evaluates, bit-equal
+    // (guide §1.2 step 2 — per-task work on the documented exact
+    // anchor; the 100 TB path stays embedNearDupsLsh)
     val e = embeddings.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nsq", VecExprs.dot(col("v"), col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nsq").as("nsq_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nsq").as("nsq_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosineCol(col("va"), col("vb")))
+      .withColumn("cos", VecExprs.dot(col("va"), col("vb")) /
+        (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

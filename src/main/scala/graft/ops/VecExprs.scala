@@ -66,11 +66,63 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product over two array&lt;double&gt; columns — the cosine's
+  * numerator factored out so pairwise scans can precompute each row's
+  * squared norm ONCE instead of re-summing both norms per pair
+  * (dot(v, v) = the exact na/nb accumulation of [[CosineSimExpr]]:
+  * ascending-index adds of x*x, so cosines reassembled as
+  * dot / (sqrt(nasq) * sqrt(nbsq)) are bit-equal to the fused form —
+  * property-tested in SimilaritySpec). Same codegen discipline. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** Primitive hot path; caller guarantees equal lengths. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null else dot(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotProduct", this, classOf[DotProductExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ref.dot($a, $b);
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecExprs {
   /** cos(a, b) as a native expression; inputs must be array&lt;double&gt;. */
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.toColumn(CosineSimExpr(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+  }
+
+  /** dot(a, b) as a native expression; inputs must be array&lt;double&gt;. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.toColumn(DotProductExpr(
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
   }
 }

@@ -36,7 +36,13 @@ object QueryDsl {
     * (so "sparkFast" in must requires BOTH terms — ES match with
     * operator=and); after analysis the four role term-sets must be
     * disjoint within one query (a term in two roles would make the
-    * score fold ambiguous — fail loud instead). */
+    * score fold ambiguous — fail loud instead).
+    *
+    * Documented deviation (ADVICE r05): a bool query with ONLY must_not
+    * clauses returns empty, where ES matches all non-excluded docs —
+    * candidates here come from the postings join, and a postings-driven
+    * candidate model cannot express match-all. Add a should/filter
+    * clause to anchor the candidate set. */
   final case class BoolQuery(qid: Int, must: Seq[String] = Nil,
                              should: Seq[String] = Nil,
                              filter: Seq[String] = Nil,

@@ -305,11 +305,13 @@ object Wand {
     handleCache.get(indexDir) match {
       case Some((s, c, cachedSig, h))
           if (s eq spark) && !s.sparkContext.isStopped && c == cfg && cachedSig == sig => h
-      case stale =>
-        stale.foreach { case (s, _, _, h) =>
-          if (!s.sparkContext.isStopped)
-            try h.close() catch { case scala.util.control.NonFatal(_) => () }
-        }
+      case _ =>
+        // the stale handle is DROPPED, not closed: another thread may
+        // still be mid-query on it, and an eager unpersist of its df
+        // table could fail or degrade those in-flight queries (ADVICE
+        // r05). The orphaned cached table is one small metadata frame
+        // per swap; the block manager evicts it under memory pressure,
+        // and lineage recomputes if a stale reference ever needs it.
         val h = new Handle(spark, indexDir, cfg)
         handleCache.put(indexDir, (spark, cfg, sig, h))
         h

@@ -121,4 +121,26 @@ class TokenizerSpec extends SparkSuite {
       CodeTokenizer.queryTerms("spark fast query"))
     assert(CodeTokenizer.queryTerms("the a of") === Seq())
   }
+
+  test("native countInSet equals the higher-order size(filter(isin)) form") {
+    import spark.implicits._
+    val stops = CodeTokenizer.Stopwords
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.oneOf(stops), Gen.oneOf("x", "spark", "of", "the")))
+      .map(_.mkString(" "))
+    val inputs = samples(gen, 200) :+ "" :+ "the the THE of"
+    val df = inputs.toDF("s").select(
+      CodeTokenizer.countInSet(split(trim(col("s")), "\\s+"), stops).as("native"),
+      size(filter(split(trim(col("s")), "\\s+"),
+        t => t.isin(stops: _*))).cast("long").as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+    }
+    // null array propagates null, like size(filter(null)) non-legacy
+    val nr = Seq[Option[String]](None).toDF("s").select(
+      CodeTokenizer.countInSet(split(col("s"), "\\s+"), stops).as("native"),
+      size(filter(split(col("s"), "\\s+"), t => t.isin(stops: _*)))
+        .cast("long").as("hof")).head()
+    assert(nr.isNullAt(0) === nr.isNullAt(1))
+  }
 }

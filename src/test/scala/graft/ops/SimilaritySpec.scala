@@ -150,4 +150,28 @@ class SimilaritySpec extends SparkSuite {
         s"vec ${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}")
     }
   }
+
+  test("factored cosine (precomputed norms + dot) is bit-equal to the fused native form") {
+    // the embedNearDups pair-scan shape: nsq = dot(v, v) once per row,
+    // cos = dot(va, vb) / (sqrt(nsq_a) * sqrt(nsq_b)) — must reproduce
+    // CosineSimExpr's double exactly (same ascending accumulation, same
+    // association), or the exact-anchor oracle would drift
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nsq", graft.ops.VecExprs.dot(col("v"), col("v")))
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("v").as("qv"), col("nsq").as("qnsq"))
+    val both = e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Similarity.cosineCol(col("qv"), col("v")).as("fused"),
+        (graft.ops.VecExprs.dot(col("qv"), col("v")) /
+          (sqrt(col("qnsq")) * sqrt(col("nsq")))).as("factored"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: fused ${r.getDouble(1)} != factored ${r.getDouble(2)}")
+    }
+  }
 }
