@@ -96,12 +96,18 @@ object Dedup {
     // quadratic blowup LSH exists to avoid. A doc with no shingles has
     // no definable set-Jaccard neighbors, so dropping it is semantics-
     // preserving, not an approximation.
+    // the MinHash signature rides the SAME persisted frame as the
+    // shingle arrays: lshCandidates references its banded input from
+    // both sides of the self-join, so a signature computed outside the
+    // cache would evaluate once per side (64 hash slots x shingles,
+    // twice) — materializing it here computes it exactly once per doc
     val arrs = docs.select(idCol.cast("long").as("doc_id"),
         array_distinct(shinglesCol(CodeTokenizer.tokensColFast(contentCol))).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("sig", MinHashSigExpr.sigCol(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cand = lshCandidates(minhashSignatures(arrs, numHashes), bands, rowsPerBand)
+      val cand = lshCandidates(arrs.select("doc_id", "sig"), bands, rowsPerBand)
       // exact verification on candidates only: set semantics
       val out = cand
         .join(arrs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")

@@ -711,11 +711,11 @@ object QueryDsl {
         transform(col("lists"), x => x.getField("pos")), lit(slop)))
       .select("qid", "doc_id")
     val exactTerms = analyzed.flatMap(_._2).distinct
-    // per-term df from the same pruned read (bounded by the query's
-    // exact terms — tiny by construction)
-    val dfMap = posPost.filter(col("term").isInCollection(exactTerms))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-term df from the handle's CACHED (term, df) metadata table —
+    // same values the pruned-read aggregation produced (sum of
+    // n_postings over a term's runs == its postings-row count), without
+    // re-reading postings parquet for a metadata quantity
+    val dfMap = handle.dfOf(exactTerms)
     val sq = analyzed.flatMap { case (qid, exact, _) =>
       exact.distinct.map(t => (qid, t, dfMap.getOrElse(t, 0L)))
     }.toDF("qid", "term", "df")
@@ -897,6 +897,11 @@ object QueryDsl {
         (rows, cand.toMap)
       }
     val roleRows = qsRoleRows(parsed, expRows)
+    // NOTE (measured, not kept): sharing ONE persisted pruned
+    // positional frame between the scoring and constraint aggregations
+    // (the phraseTopK discipline) was tried and is SLOWER here —
+    // persist + eager materialization serialize what the two-subtree
+    // action runs as concurrent stages; see OPTIMIZATION_r06.md.
     val scored = boolScored(spark, docs, idCol, contentCol, roleRows, cfg,
       statsKnown = Some((n, avgdl, dfLit ++ dfExp)))
     if (phrases.isEmpty) return BM25.rankTopK(scored, cfg.topK)
@@ -926,7 +931,6 @@ object QueryDsl {
       expMap(p).map(t => (qid, t, role))
     }
     val roleRows = qsRoleRows(parsed, expRows)
-      .toDF("qid", "term", "role", "n_must", "n_filter", "n_msm")
     val phrases = qsPhrases(parsed)
     val allTerms = (qsTermRows(parsed).map(_._2) ++ expRows.map(_._2) ++
       phrases.flatMap(_._3)).distinct
@@ -934,9 +938,14 @@ object QueryDsl {
       return spark.emptyDataset[Wand.Hit].toDF().orderBy("qid", "rank")
     val (n, avgdl) = graft.index.SegmentBuilder.readStats(spark, indexDir)
     val posPost = BM25.prunedPositionalPostings(spark, indexDir, allTerms)
-    // per-term df from the pruned read (bounded by the query's terms)
-    val dfTbl = posPost.groupBy("term").agg(count(lit(1)).as("df"))
-    val weighted = posPost.join(broadcast(roleRows.join(dfTbl, "term")), "term")
+    // per-term df from the handle's cached metadata table (same values
+    // the pruned-read aggregation produced; no extra postings branch in
+    // the serving plan)
+    val dfMap = h.dfOf(roleRows.map(_._2).distinct)
+    val q = roleRows.flatMap { case (qid, t, role, nm, nf, msm) =>
+      dfMap.get(t).map(df => (qid, t, role, nm, nf, msm, df))
+    }.toDF("qid", "term", "role", "n_must", "n_filter", "n_msm", "df")
+    val weighted = posPost.join(broadcast(q), "term")
       .withColumn("w",
         BM25.weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
     val scored = boolAggregate(weighted)

@@ -389,6 +389,20 @@ object Wand {
         terms.iterator.filter(_.startsWith(p)).toSeq.sorted.take(maxExpansions)).toMap
     }
 
+    /** Per-term df for a bounded term list out of the CACHED (term, df)
+      * metadata table — no parquet read, no postings aggregation.
+      * df here is sum(n_postings) over the term's segment rows, which
+      * equals the (term, doc) postings-row count the pruned-read
+      * aggregation produced (salted runs partition a term's docs
+      * disjointly) — the same df every served score already uses.
+      * Absent terms are absent from the map (inner-join semantics). */
+    def dfOf(terms: Seq[String]): Map[String, Long] = {
+      val ts = terms.distinct
+      if (ts.isEmpty) return Map.empty
+      dfTable.filter(col("term").isInCollection(ts))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
     /** Batch twin of [[expandFuzzy]] — every (term, maxDist) input's
       * expansion out of ONE metadata job; per-input results identical
       * (highest-df first, ties term-asc, capped). */
