@@ -268,24 +268,57 @@ object Dedup {
     * this is the exactness anchor at verification scale — the DuckDB
     * oracle computes the identical fold, bit-equal. The 100 TB path is
     * [[embedNearDupsLsh]]. */
+  /** Ascending-index dot product — the exact accumulation of
+    * [[CosineSimExpr]]/[[DotProductExpr]], shared by the pair scan. */
+  private def dotAsc(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   def embedNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
-    // each row's squared norm is computed ONCE before the pair join
-    // (dot(v, v) accumulates exactly like the fused cosine's na/nb —
-    // ascending index), so the O(n^2) pair scan pays one dot product
-    // per pair instead of three: cos = dot / (sqrt(nasq) * sqrt(nbsq))
-    // is the same IEEE expression the fused form evaluates, bit-equal
-    // (guide §1.2 step 2 — per-task work on the documented exact
-    // anchor; the 100 TB path stays embedNearDupsLsh)
-    val e = embeddings.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("nsq", VecExprs.dot(col("v"), col("v")))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nsq").as("nsq_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nsq").as("nsq_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", VecExprs.dot(col("va"), col("vb")) /
-        (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+    // The exact O(n^2) anchor as a broadcast pair SCAN instead of a
+    // broadcast nested-loop JOIN: the join materialized every pair as a
+    // row carrying BOTH vectors (n^2/2 x 2 x dims x 8 bytes of copies)
+    // before the cosine projection could discard it — the row churn,
+    // not the flops, was the cost (guide §1.2 step 2). Here the
+    // broadcast holds the same rows the join's build side broadcast
+    // (documented non-scale-path boundedness; the 100 TB path stays
+    // embedNearDupsLsh), each task loops its stream rows against it,
+    // and only above-threshold pairs materialize.
+    // Exactness: cos = dot / (sqrt(nasq) * sqrt(nbsq)) with every sum
+    // accumulated ascending — the same IEEE expression, bit-equal to
+    // the fused CosineSimExpr (property-tested in SimilaritySpec).
+    // Length-mismatched pairs are skipped (the expression form nulled
+    // them out of the filter identically).
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val all = e.collect().filter(_._2 != null).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(
+      (all.map(_._1), all.map(_._2), all.map(t => math.sqrt(dotAsc(t._2, t._2)))))
+    val thr = threshold
+    e.mapPartitions { it =>
+      val (ids, vecs, norms) = bc.value
+      it.flatMap { case (idA, va) =>
+        if (va == null) Iterator.empty
+        else {
+          val na = math.sqrt(dotAsc(va, va))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = 0
+          while (j < ids.length) {
+            if (ids(j) > idA && vecs(j).length == va.length) {
+              val cos = dotAsc(va, vecs(j)) / (na * norms(j))
+              if (cos >= thr) out += ((idA, ids(j), cos))
+            }
+            j += 1
+          }
+          out.iterator
+        }
+      }
+    }.toDF("id_a", "id_b", "cos")
   }
 
   /** Scale path: embedding near-dup candidates restricted to pairs

@@ -142,12 +142,20 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("ObjectHashAggregate"), s"bounded top-k expected:\n$plan")
   }
 
-  test("embed near-dup plans: exact = broadcast NL self-join; LSH-blocked = bucket-key shuffle join, no cartesian") {
+  test("embed near-dup plans: exact = broadcast pair SCAN (one scan, no join, no shuffle); LSH-blocked = bucket-key shuffle join, no cartesian") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = graft.ops.Dedup.embedNearDups(emb, 0.4)
       .queryExecution.executedPlan.toString
-    assert(exact.contains("BroadcastNestedLoopJoin"),
-      s"exact pairs must broadcast one side (verification-scale anchor):\n$exact")
+    // r06: the exact anchor no longer materializes n^2/2 pair rows
+    // through a BroadcastNestedLoopJoin — one MapPartitions pass loops
+    // each stream row against the broadcast vector table and emits only
+    // qualifying pairs. The pin asserts the stronger shape: a pair scan
+    // with NO join operator and NO exchange anywhere in the plan.
+    assert(exact.contains("MapPartitions"),
+      s"exact pairs must be a broadcast pair scan (verification-scale anchor):\n$exact")
+    assert(!exact.contains("Join") && !exact.contains("Exchange") &&
+      !exact.contains("CartesianProduct"),
+      s"the exact pair scan must not shuffle or join:\n$exact")
     val blocked = graft.ops.Dedup.embedNearDupsLsh(emb, 0.4)
       .queryExecution.executedPlan.toString
     assert(!blocked.contains("CartesianProduct") &&
