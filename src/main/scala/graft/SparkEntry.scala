@@ -364,14 +364,21 @@ object SparkEntry {
     * echoes back). */
   private def qFtSearchAfter(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
-    val page1 = BM25.topK(s, docs, col("doc_id"), col("text"), SearchAfterQuerySet)
+    // both pages score with the SAME index stats (the ES contract — a
+    // cursor page never re-derives them), so the bounded stats job runs
+    // once and is shared
+    val terms = SearchAfterQuerySet
+      .flatMap { case (_, t) => graft.analyze.CodeTokenizer.queryTerms(t) }.distinct
+    val stats = BM25.statsAndDf(docs, col("doc_id"), col("text"), terms)
+    val page1 = BM25.topK(s, docs, col("doc_id"), col("text"), SearchAfterQuerySet,
+      statsKnown = Some(stats))
     val cursors = page1.select("qid", "rank", "doc_id", "score").collect()
       .groupBy(_.getInt(0)).toSeq.map { case (qid, rows) =>
         val last = rows.maxBy(_.getLong(1))
         (qid, last.getDouble(3), last.getLong(2))
       }
     QueryDsl.searchAfterTopK(s, docs, col("doc_id"), col("text"),
-      SearchAfterQuerySet, cursors)
+      SearchAfterQuerySet, cursors, statsKnown = Some(stats))
       .select(col("qid"), col("rank"), col("doc_id"),
         format_string("%.4f", col("score")).as("score"))
   }

@@ -79,14 +79,25 @@ object BM25 {
       }.toMap
       (n, avgdl, dfMap)
     } else {
-      val r = tok.agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl")).head()
+      // the stats aggregate and the term-pruned df aggregate are
+      // independent jobs — submit them from two driver threads so the
+      // second backfills the first's straggler tail (guide §2.6)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val statsF = Future {
+        tok.agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl")).head()
+      }
+      val dfF = Future {
+        Postings.build(docs, idCol, contentCol)
+          .filter(col("term").isInCollection(ts))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      }
+      val r = Await.result(statsF, Duration.Inf)
       val n = r.getLong(0)
       val avgdl = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
-      val dfMap = Postings.build(docs, idCol, contentCol)
-        .filter(col("term").isInCollection(ts))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
-      (n, avgdl, dfMap)
+      (n, avgdl, Await.result(dfF, Duration.Inf))
     }
   }
 
@@ -140,12 +151,14 @@ object BM25 {
     */
   def topK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
            queries: Seq[(Int, String)], cfg: EngineConfig = EngineConfig.default,
-           conjunctive: Boolean = false): DataFrame = {
+           conjunctive: Boolean = false,
+           statsKnown: Option[(Long, Double, Map[String, Long])] = None): DataFrame = {
     import spark.implicits._
     val analyzed = queries.map { case (qid, text) => qid -> CodeTokenizer.queryTerms(text) }
     val terms = analyzed.flatMap(_._2).distinct
     if (terms.isEmpty) return emptyHits(spark)
-    val (n, avgdl, dfMap) = statsAndDf(docs, idCol, contentCol, terms)
+    val (n, avgdl, dfMap) = statsKnown.getOrElse(
+      statsAndDf(docs, idCol, contentCol, terms))
     // (qid, term, n_terms, df): driver-resolved literal — broadcast side
     // of the postings join (absent terms drop here, exactly like the
     // former inner join with the docFreq table)

@@ -243,10 +243,12 @@ object QueryDsl {
     * fold), so cursor equality on the double score is exact. */
   def searchAfterTopK(spark: SparkSession, docs: DataFrame, idCol: Column, contentCol: Column,
                       queries: Seq[(Int, String)], cursors: Seq[(Int, Double, Long)],
-                      cfg: EngineConfig = EngineConfig.default): DataFrame = {
+                      cfg: EngineConfig = EngineConfig.default,
+                      statsKnown: Option[(Long, Double, Map[String, Long])] = None)
+      : DataFrame = {
     import spark.implicits._
     val (weighted, _, _, _) =
-      matchPipeline(docs, idCol, contentCol, analyzedQueries(queries), cfg)
+      matchPipeline(docs, idCol, contentCol, analyzedQueries(queries), cfg, statsKnown)
     val cur = cursors.toDF("qid", "c_score", "c_doc")
     val after = BM25.scored(weighted).join(broadcast(cur), "qid")
       .filter(col("score") < col("c_score") ||
@@ -741,12 +743,14 @@ object QueryDsl {
     * stats plus the postings subtree evaluated under both the docFreq
     * aggregation and the scoring join — guide §1.2 step 1.) */
   private def matchPipeline(docs: DataFrame, idCol: Column, contentCol: Column,
-                            analyzed: Seq[(Int, Seq[String])], cfg: EngineConfig)
+                            analyzed: Seq[(Int, Seq[String])], cfg: EngineConfig,
+                            statsKnown: Option[(Long, Double, Map[String, Long])] = None)
       : (DataFrame, DataFrame, Long, Double) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val terms = analyzed.flatMap(_._2).distinct
-    val (n, avgdl, dfMap) = BM25.statsAndDf(docs, idCol, contentCol, terms)
+    val (n, avgdl, dfMap) = statsKnown.getOrElse(
+      BM25.statsAndDf(docs, idCol, contentCol, terms))
     val qdf = analyzed.flatMap { case (qid, ts) =>
       ts.flatMap(t => dfMap.get(t).map(df => (qid, t, ts.size, df)))
     }.toDF("qid", "term", "n_terms", "df")
@@ -874,14 +878,19 @@ object QueryDsl {
     val prefixClauses = qsPrefixClauses(parsed)
     val phrases = qsPhrases(parsed)
     val literalTerms = (qsTermRows(parsed).map(_._2) ++ phrases.flatMap(_._3)).distinct
-    // ONE bounded stats job for (n, avgdl) + every literal term's df
-    val (n, avgdl, dfLit) = BM25.statsAndDf(docs, idCol, contentCol, literalTerms)
+    // the bounded stats job ((n, avgdl) + literal-term df) and the
+    // prefix-expansion aggregation are independent — submit them from
+    // two driver threads so their stages overlap (guide §2.6)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val statsF = Future(BM25.statsAndDf(docs, idCol, contentCol, literalTerms))
     // prefix expansions: one term-pruned postings aggregation for ALL
     // prefix clauses together (bounded collect of candidate terms +
     // df — never a full-vocabulary shuffle), expanded per clause on the
     // driver: lexicographic-first maxExpansions, exactly the former
     // per-clause window
-    val (expRows, dfExp) =
+    val expF = Future {
       if (prefixClauses.isEmpty) (Nil, Map.empty[String, Long])
       else {
         val cond = prefixClauses.map(_._2).distinct
@@ -896,6 +905,9 @@ object QueryDsl {
         }
         (rows, cand.toMap)
       }
+    }
+    val (n, avgdl, dfLit) = Await.result(statsF, Duration.Inf)
+    val (expRows, dfExp) = Await.result(expF, Duration.Inf)
     val roleRows = qsRoleRows(parsed, expRows)
     // NOTE (measured, not kept): sharing ONE persisted pruned
     // positional frame between the scoring and constraint aggregations
