@@ -367,10 +367,9 @@ object BM25 {
       .groupBy("qid", "doc_id")
       .agg(count(lit(1)).as("got"), first(col("m")).as("m"),
         sort_array(collect_list(struct(col("off"), col("positions")))).as("lists"),
-        aggregate(
+        SumStructFieldExpr.sumField(
           sort_array(collect_list(when(col("score_me"),
-            struct(col("term"), col("w"))))),
-          lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+            struct(col("term"), col("w"))))), 1, 2).as("score"))
       .filter(col("got") === col("m"))
       .filter(OrderedSpanMatchExpr.matches(
         transform(col("lists"), x => x.getField("positions")), lit(slop)))
@@ -470,10 +469,8 @@ object BM25 {
     val grouped = weighted
       .groupBy("qid", "doc_id")
       .agg(
-        aggregate(
-          sort_array(collect_list(struct(col("term"), col("w")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("w")).as("score"),
+        SumStructFieldExpr.sumField(
+          sort_array(collect_list(struct(col("term"), col("w")))), 1, 2).as("score"),
         count(lit(1)).as("matched"),
         first(col("n_terms"), ignoreNulls = true).as("n_terms"))
     if (conjunctive) grouped.filter(col("matched") === col("n_terms"))

@@ -80,3 +80,52 @@ object OrderedSpanMatchExpr {
       GraftColumnBridge.toExpression(lists), GraftColumnBridge.toExpression(slop)))
   }
 }
+
+/** Ascending-index sum of one double field over an array&lt;struct&gt; —
+  * the native twin of the interpreted score fold
+  * `aggregate(sortedArr, 0.0D, (acc, x) => acc + x.getField(f))`
+  * (the HOF runs its lambda interpreted once per element; across a
+  * ranking query's tens of thousands of (qid, doc) groups that inner
+  * loop is pure overhead). The input is already `sort_array`-ed by the
+  * caller, so summing in index order IS the term-ascending fold the
+  * rank-identity discipline requires — bit-equal doubles (parity
+  * property-tested in Bm25Spec). A null element makes the result null,
+  * exactly like the HOF fold (acc + null = null, and null poisons the
+  * remaining folds). A null array yields null (UnaryExpression
+  * contract; aggregate(null, ...) is null too). */
+case class SumStructFieldExpr(child: Expression, fieldIdx: Int, numFields: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val row = arr.getStruct(i, numFields)
+      if (row.isNullAt(fieldIdx)) return null
+      s += row.getDouble(fieldIdx)
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildInternal(c: Expression): SumStructFieldExpr =
+    copy(child = c)
+}
+
+object SumStructFieldExpr {
+  /** Sum `fieldName` (double) over a SORTED array&lt;struct&gt; column in
+    * index order. The struct shape is resolved lazily at analysis via a
+    * cast-free lookup on the child's resolved type. */
+  def sumField(sortedArr: Column, fieldIdx: Int, numFields: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.toColumn(SumStructFieldExpr(
+      GraftColumnBridge.toExpression(sortedArr), fieldIdx, numFields))
+  }
+}

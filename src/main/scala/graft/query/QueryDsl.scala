@@ -139,10 +139,9 @@ object QueryDsl {
         // collect_list drops the when()'s nulls: only must/should rows
         // enter the fold, ascending term order — the oracle's
         // CASE-zero form is bit-equal (+0.0 is exact)
-        aggregate(
+        SumStructFieldExpr.sumField(
           sort_array(collect_list(when(col("role").isin("must", "should"),
-            struct(col("term"), col("w"))))),
-          lit(0.0), (acc, x) => acc + x.getField("w")).as("score"),
+            struct(col("term"), col("w"))))), 1, 2).as("score"),
         count(when(col("role") === "must", 1)).as("must_got"),
         count(when(col("role") === "filter", 1)).as("filter_got"),
         count(when(col("role") === "must_not", 1)).as("not_got"),
@@ -726,9 +725,8 @@ object QueryDsl {
       .withColumn("w",
         BM25.weightCol(col("tf"), col("doclen"), col("df"), n, avgdl, cfg.k1, cfg.b))
     val grouped = weighted.groupBy("qid", "doc_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("term"), col("w")))),
-        lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+      .agg(SumStructFieldExpr.sumField(
+        sort_array(collect_list(struct(col("term"), col("w")))), 1, 2).as("score"))
     BM25.rankTopK(grouped, cfg.topK)
   }
 
@@ -1087,9 +1085,8 @@ object QueryDsl {
     val comb = perField.reduce(_ unionByName _)
       .groupBy("qid", "doc_id")
       .agg(max(col("score")).as("best"),
-        aggregate(
-          sort_array(collect_list(struct(col("fld"), col("score")))),
-          lit(0.0), (acc, x) => acc + x.getField("score")).as("ssum"))
+        SumStructFieldExpr.sumField(
+          sort_array(collect_list(struct(col("fld"), col("score")))), 1, 2).as("ssum"))
       .withColumn("score",
         col("best") + lit(tieBreaker) * (col("ssum") - col("best")))
       .select("qid", "doc_id", "score")
@@ -1477,12 +1474,10 @@ object QueryDsl {
     val rolled = scored.groupBy("qid", "parent").agg(
       (scoreMode match {
         case "max" => max(col("score"))
-        case "sum" => aggregate(
-          sort_array(collect_list(struct(col("doc_id"), col("score")))),
-          lit(0.0), (acc, x) => acc + x.getField("score"))
-        case "avg" => aggregate(
-            sort_array(collect_list(struct(col("doc_id"), col("score")))),
-            lit(0.0), (acc, x) => acc + x.getField("score")) /
+        case "sum" => SumStructFieldExpr.sumField(
+          sort_array(collect_list(struct(col("doc_id"), col("score")))), 1, 2)
+        case "avg" => SumStructFieldExpr.sumField(
+            sort_array(collect_list(struct(col("doc_id"), col("score")))), 1, 2) /
           count(lit(1)).cast("double")
       }).as("score"))
     rolled
@@ -1596,9 +1591,8 @@ object QueryDsl {
     val grouped = weighted
       .groupBy("qid", "doc_id")
       .agg(
-        aggregate(
-          sort_array(collect_list(struct(col("term"), col("w")))),
-          lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+        SumStructFieldExpr.sumField(
+          sort_array(collect_list(struct(col("term"), col("w")))), 1, 2).as("score"))
     BM25.rankTopK(grouped, cfg.topK)
   }
 }

@@ -195,4 +195,31 @@ class Bm25Spec extends SparkSuite {
     assert(oracle.map(_.docId) === ids)
     res.foreach(r => assert(r.getDouble(3) === oracle.head.score))
   }
+
+  test("native SumStructFieldExpr fold is bit-equal to the interpreted aggregate HOF") {
+    import spark.implicits._
+    // weights spanning magnitudes so association errors would show;
+    // plus an empty array (0.0) and a null-w element (null result)
+    val rows = Seq(
+      (1L, Seq(("a", 1.0e-7), ("b", 3.14159), ("c", 2.5e6), ("d", 0.1))),
+      (2L, Seq(("z", 42.0))),
+      (3L, Seq.empty[(String, Double)]))
+    val df = rows.toDF("id", "arr")
+      .select(col("id"), sort_array(col("arr")).as("arr"))
+    val both = df.select(col("id"),
+      SumStructFieldExpr.sumField(col("arr"), 1, 2).as("native"),
+      aggregate(col("arr"), lit(0.0),
+        (acc, x) => acc + x.getField("_2")).as("hof")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id ${r.getLong(0)}")
+    }
+    // null ARRAY -> null, matching aggregate(null, ...)
+    val nr = Seq(Tuple1[Option[Seq[(String, Double)]]](None)).toDF("arr")
+      .select(SumStructFieldExpr.sumField(col("arr"), 1, 2).as("native"),
+        aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("_2")).as("hof")).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
 }
