@@ -891,17 +891,29 @@ object QueryDsl {
     val expF = Future {
       if (prefixClauses.isEmpty) (Nil, Map.empty[String, Long])
       else {
-        val cond = prefixClauses.map(_._2).distinct
-          .map(p => col("term").startsWith(p)).reduce(_ || _)
-        val cand = Postings.build(docs, idCol, contentCol)
-          .filter(cond)
+        val spark2 = docs.sparkSession
+        import spark2.implicits._
+        // per-prefix lexicographic cap applied DISTRIBUTED-side (window
+        // per prefix), so the collect is bounded by prefixes x
+        // maxExpansions however hot a prefix is against the vocabulary
+        val prefixes = prefixClauses.map(_._2).distinct
+        val pdf = prefixes.toDF("prefix")
+        val cond = prefixes.map(p => col("term").startsWith(p)).reduce(_ || _)
+        val capped = Postings.build(docs, idCol, contentCol)
+          .filter(cond) // term-pruned BEFORE the df aggregation
           .groupBy("term").agg(count(lit(1)).as("df"))
-          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .join(broadcast(pdf), col("term").startsWith(col("prefix")))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("prefix").orderBy("term")))
+          .filter(col("r") <= maxExpansions)
+          .select("prefix", "term", "df").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val byPrefix = capped.groupBy(_._1)
         val rows = prefixClauses.flatMap { case (qid, p, role) =>
-          cand.iterator.filter(_._1.startsWith(p)).map(_._1).toSeq
-            .sorted.take(maxExpansions).map(t => (qid, t, role))
+          byPrefix.getOrElse(p, Array.empty[(String, String, Long)])
+            .map(_._2).sorted.map(t => (qid, t, role))
         }
-        (rows, cand.toMap)
+        (rows, capped.map { case (_, t, df) => t -> df }.toMap)
       }
     }
     val (n, avgdl, dfLit) = Await.result(statsF, Duration.Inf)

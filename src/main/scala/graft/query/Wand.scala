@@ -46,29 +46,6 @@ object Wand {
 
   private val BoundInflate = 1.0 + 1e-9
 
-  /** Driver-side classic Levenshtein — the exact function Spark's
-    * `levenshtein` column evaluates (terms are ASCII by construction of
-    * the analyzer, so char units agree). Used by the batch fuzzy
-    * expansion to re-partition one job's candidates per input. */
-  private[query] def levenshteinDist(a: String, b: String): Int = {
-    val m = a.length; val n = b.length
-    var prev = Array.tabulate(n + 1)(identity)
-    var cur = new Array[Int](n + 1)
-    var i = 1
-    while (i <= m) {
-      cur(0) = i
-      var j = 1
-      while (j <= n) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
-        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
-        j += 1
-      }
-      val t = prev; prev = cur; cur = t
-      i += 1
-    }
-    prev(n)
-  }
-
   /** One (term, salt) run restricted to docs in [lo, hi): lazily-decoded
     * cursor over its blocks. */
   private final class Cursor(val term: String, val idf: Double, val df: Long,
@@ -378,15 +355,23 @@ object Wand {
       * ONE metadata job (a batch of b prefixes formerly paid b
       * scheduler round-trips of pure fixed cost — the per-query
       * expansion collects were the serving latency, not the scan).
+      * The per-pattern cap applies DISTRIBUTED-side (a window per
+      * pattern), so the collect is bounded by patterns x maxExpansions
+      * no matter how hot a prefix is against the dictionary.
       * Per-prefix results identical to [[expandPrefix]]. */
     def expandPrefixBatch(prefixes: Seq[String], maxExpansions: Int): Map[String, Seq[String]] = {
+      import org.apache.spark.sql.expressions.Window
       val ps = prefixes.distinct
       if (ps.isEmpty) return Map.empty
-      val cond = ps.map(p => col("term").startsWith(p)).reduce(_ || _)
-      val terms = dfTable.filter(cond).select("term")
-        .collect().map(_.getString(0))
-      ps.map(p => p ->
-        terms.iterator.filter(_.startsWith(p)).toSeq.sorted.take(maxExpansions)).toMap
+      val pdf = ps.toDF("prefix")
+      val rows = dfTable.join(broadcast(pdf), col("term").startsWith(col("prefix")))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("prefix").orderBy("term")))
+        .filter(col("r") <= maxExpansions)
+        .select("prefix", "term", "r").collect()
+      val m = rows.groupBy(_.getString(0)).map { case (p, rs) =>
+        p -> rs.sortBy(_.getInt(2)).map(_.getString(1)).toSeq }
+      ps.map(p => p -> m.getOrElse(p, Nil)).toMap
     }
 
     /** Per-term df for a bounded term list out of the CACHED (term, df)
@@ -404,42 +389,47 @@ object Wand {
     }
 
     /** Batch twin of [[expandFuzzy]] — every (term, maxDist) input's
-      * expansion out of ONE metadata job; per-input results identical
-      * (highest-df first, ties term-asc, capped). */
+      * expansion out of ONE metadata job, with the per-input cap
+      * applied distributed-side (window per input: df desc, term asc)
+      * so the collect is bounded by inputs x maxExpansions. Per-input
+      * results identical. */
     def expandFuzzyBatch(inputs: Seq[(String, Int)], maxExpansions: Int)
         : Map[String, Seq[String]] = {
+      import org.apache.spark.sql.expressions.Window
       val ins = inputs.distinct
       if (ins.isEmpty) return Map.empty
-      val cond = ins.map { case (t, d) =>
-        abs(length(col("term")) - lit(t.length)) <= d &&
-          levenshtein(col("term"), lit(t)) <= d
-      }.reduce(_ || _)
-      val cand = dfTable.filter(cond).select("term", "df")
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      ins.map { case (t, d) =>
-        t -> cand.iterator.filter { case (c, _) =>
-            math.abs(c.length - t.length) <= d && levenshteinDist(c, t) <= d }
-          .toSeq
-          .sortBy { case (c, df) => (-df, c) }
-          .take(maxExpansions).map(_._1)
-      }.toMap
+      val idf = ins.toDF("input", "dist")
+      val rows = dfTable.join(broadcast(idf),
+          abs(length(col("term")) - length(col("input"))) <= col("dist") &&
+            levenshtein(col("term"), col("input")) <= col("dist"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("input").orderBy(col("df").desc, col("term"))))
+        .filter(col("r") <= maxExpansions)
+        .select("input", "term", "r").collect()
+      val m = rows.groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.sortBy(_.getInt(2)).map(_.getString(1)).toSeq }
+      ins.map { case (t, _) => t -> m.getOrElse(t, Nil) }.toMap
     }
 
     /** Batch twin of [[expandWildcard]]/[[expandRegex]] over compiled
-      * anchored patterns: one metadata job for the whole batch,
-      * per-pattern results identical (lexicographic-first cap). */
+      * anchored patterns: one metadata job for the whole batch, with
+      * the per-pattern lexicographic cap applied distributed-side
+      * (bounded collect: patterns x maxExpansions). Per-pattern
+      * results identical. */
     def expandRegexBatch(patterns: Seq[String], maxExpansions: Int)
         : Map[String, Seq[String]] = {
+      import org.apache.spark.sql.expressions.Window
       val ps = patterns.distinct
       if (ps.isEmpty) return Map.empty
-      val cond = ps.map(p => col("term").rlike(p)).reduce(_ || _)
-      val terms = dfTable.filter(cond).select("term")
-        .collect().map(_.getString(0))
-      val compiled = ps.map(p => p -> java.util.regex.Pattern.compile(p))
-      compiled.map { case (p, rx) =>
-        p -> terms.iterator.filter(t => rx.matcher(t).find()).toSeq
-          .sorted.take(maxExpansions)
-      }.toMap
+      val pdf = ps.toDF("rx")
+      val rows = dfTable.join(broadcast(pdf), regexp_like(col("term"), col("rx")))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("rx").orderBy("term")))
+        .filter(col("r") <= maxExpansions)
+        .select("rx", "term", "r").collect()
+      val m = rows.groupBy(_.getString(0)).map { case (p, rs) =>
+        p -> rs.sortBy(_.getInt(2)).map(_.getString(1)).toSeq }
+      ps.map(p => p -> m.getOrElse(p, Nil)).toMap
     }
 
     /** Index terms matching an ES wildcard pattern (`*` = any sequence
